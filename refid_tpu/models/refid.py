@@ -1,0 +1,255 @@
+"""REFID flagship network — FinalBidirectionAttenfusion (flax, NHWC).
+
+A TPU-first redesign of the reference network
+(basicsr/models/archs/XXNet_final_attenfusion_arch.py:81-218): the two
+temporal propagation loops become two ``nn.scan``s over the voxel-bin axis
+(backward first, then forward), compiled once per step instead of unrolled.
+
+Parity notes (replicate-or-fix decisions, each exposed as a config flag):
+
+* ``aliased_backward_states`` (default True, matching released checkpoints):
+  the reference builds ``backward_all_states`` with
+  ``insert(0, backward_prev_states)`` — inserting the SAME mutable list every
+  iteration (XXNet_final_attenfusion_arch.py:181).  Every forward frame
+  therefore fuses the FINAL backward state (the one computed at frame 0),
+  not its own frame's state.  In parity mode we exploit this: the backward
+  scan only needs its final carry — nothing is stacked, an O(t) activation
+  memory saving.  Set False for the (presumably intended) per-frame
+  bidirectional states.
+
+* No output activation: the reference resolves an activation attr but never
+  applies it (arch file :59 vs :215); the prediction conv output is returned
+  raw.
+
+* EGACA attention fusion is enabled only at encoder index 1
+  (arch file :107).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from refid_tpu.models.layers import (
+    ConvLayer, ImageEncoderConvBlock, ResidualBlock,
+)
+from refid_tpu.models.recurrent import (
+    RecurrentEncoderStage, TransposeRecurrentConvLayer,
+)
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class RefidConfig:
+    """Hyperparameters; defaults are the production blur-VFI 11+1 config
+    (options/train/GoPro/Final_bidirectionEncoder_XXNet_1attenfusion.yml:78-87)."""
+    img_chn: int = 26
+    ev_chn: int = 2
+    out_chn: int = 3
+    num_encoders: int = 3
+    base_num_channels: int = 32
+    num_block: int = 1            # blocks per SimpleRecurrentConv trunk
+    num_residual_blocks: int = 2  # bottleneck resblocks
+    atten_fuse_at: Tuple[int, ...] = (1,)
+    aliased_backward_states: bool = True   # reference checkpoint parity
+    remat: bool = False                    # rematerialize scan steps
+    dtype: Optional[Any] = None            # compute dtype (None -> f32)
+
+    @property
+    def encoder_in_sizes(self) -> Tuple[int, ...]:
+        return tuple(self.base_num_channels * 2 ** i
+                     for i in range(self.num_encoders))
+
+    @property
+    def encoder_out_sizes(self) -> Tuple[int, ...]:
+        return tuple(self.base_num_channels * 2 ** (i + 1)
+                     for i in range(self.num_encoders))
+
+    @property
+    def max_num_channels(self) -> int:
+        return self.base_num_channels * 2 ** self.num_encoders
+
+
+class _BackwardStep(nn.Module):
+    """One backward-propagation step over all encoder scales."""
+    cfg: RefidConfig
+
+    @nn.compact
+    def __call__(self, carry, e_t):
+        states, x_blocks = carry
+        cfg = self.cfg
+        new_states = []
+        e = e_t
+        for i in range(cfg.num_encoders):
+            y = None if i == 0 else x_blocks[i - 1]
+            e, s = RecurrentEncoderStage(
+                in_ch=cfg.encoder_in_sizes[i],
+                out_ch=cfg.encoder_out_sizes[i],
+                num_block=cfg.num_block,
+                use_atten_fuse=i in cfg.atten_fuse_at,
+                fuse_two_direction=False,
+                dtype=cfg.dtype,
+                name=f"enc_{i}",
+            )(e, y, states[i], None)
+            new_states.append(s)
+        new_states = tuple(new_states)
+        ys = () if cfg.aliased_backward_states else new_states
+        return (new_states, x_blocks), ys
+
+
+class _ForwardStep(nn.Module):
+    """One forward step: encoder scales (+ bidir fuse), bottleneck,
+    recurrent decoder, prediction."""
+    cfg: RefidConfig
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        cfg = self.cfg
+        if cfg.aliased_backward_states:
+            # parity: the (constant) final backward state rides the carry
+            fwd_states, dec_states, x_blocks, head, bwd_states = carry
+            e_t = xs
+        else:
+            fwd_states, dec_states, x_blocks, head = carry
+            e_t, bwd_states = xs
+
+        e = e_t
+        new_fwd = []
+        e_blocks = []
+        for i in range(cfg.num_encoders):
+            y = None if i == 0 else x_blocks[i - 1]
+            e, s = RecurrentEncoderStage(
+                in_ch=cfg.encoder_in_sizes[i],
+                out_ch=cfg.encoder_out_sizes[i],
+                num_block=cfg.num_block,
+                use_atten_fuse=i in cfg.atten_fuse_at,
+                fuse_two_direction=True,
+                dtype=cfg.dtype,
+                name=f"enc_{i}",
+            )(e, y, fwd_states[i], bwd_states[i])
+            e_blocks.append(e)
+            new_fwd.append(s)
+
+        # bottleneck: first resblock adds the deepest image feature
+        for i in range(cfg.num_residual_blocks):
+            inp = e + x_blocks[-1] if i == 0 else e
+            e = ResidualBlock(cfg.max_num_channels, dtype=cfg.dtype,
+                              name=f"res_{i}")(inp)
+
+        # recurrent decoder with skip-sums
+        new_dec = []
+        for i in range(cfg.num_encoders):
+            skip = e_blocks[cfg.num_encoders - i - 1]
+            out_ch = cfg.encoder_out_sizes[cfg.num_encoders - i - 1] // 2
+            e, s = TransposeRecurrentConvLayer(
+                out_ch=out_ch, num_block=1, dtype=cfg.dtype,
+                name=f"dec_{i}")(e + skip, dec_states[i])
+            new_dec.append(s)
+
+        out = ConvLayer(cfg.out_chn, 3, 1, 1, relu_slope=None,
+                        dtype=cfg.dtype, name="pred")(e + head)
+        if cfg.aliased_backward_states:
+            new_carry = (tuple(new_fwd), tuple(new_dec), x_blocks, head,
+                         bwd_states)
+        else:
+            new_carry = (tuple(new_fwd), tuple(new_dec), x_blocks, head)
+        return new_carry, out
+
+
+class FinalBidirectionAttenfusion(nn.Module):
+    """Bidirectional event-recurrent UNet for deblur / VFI / blur-VFI.
+
+    Inputs (NHWC):
+      x:     (b, h, w, img_chn)  packed image (+ deblur-voxel) channels, or
+             (b, 2, h, w, c) which is flattened to (b, h, w, 2c) like the
+             reference's rearrange (arch file :140-141).
+      event: (b, t, h, w, ev_chn) adjacent voxel-bin pairs.
+
+    Output: (b, t, h, w, out_chn) — one sharp frame per bin pair.
+    """
+    cfg: RefidConfig
+
+    @nn.compact
+    def __call__(self, x, event):
+        cfg = self.cfg
+        if x.ndim == 5:  # (b, 2, h, w, c) -> (b, h, w, 2c)
+            b_, two, h_, w_, c_ = x.shape
+            x = jnp.concatenate([x[:, i] for i in range(two)], axis=-1)
+        b, t, h, w, _ = event.shape
+        base = cfg.base_num_channels
+
+        # heads: event head batched over (b*t), image head once
+        ev = event.reshape(b * t, h, w, event.shape[-1])
+        e = ConvLayer(base, 5, 1, 2, 0.2, dtype=cfg.dtype, name="head")(ev)
+        e = e.reshape(b, t, h, w, base)
+
+        xh = ConvLayer(base, 5, 1, 2, 0.2, dtype=cfg.dtype, name="head_img")(x)
+        head = xh
+
+        x_blocks = []
+        cur = xh
+        for i in range(cfg.num_encoders):
+            cur = ImageEncoderConvBlock(cfg.encoder_out_sizes[i],
+                                        downsample=True, dtype=cfg.dtype,
+                                        name=f"img_enc_{i}")(cur)
+            x_blocks.append(cur)
+        x_blocks = tuple(x_blocks)
+
+        dt = cfg.dtype or jnp.float32
+        # recurrent states live at PRE-downsample resolution per scale
+        enc_state_zeros = tuple(
+            jnp.zeros((b, h // 2 ** i, w // 2 ** i, cfg.encoder_out_sizes[i]), dt)
+            for i in range(cfg.num_encoders))
+
+        back_cls = _BackwardStep
+        fwd_cls = _ForwardStep
+        if cfg.remat:
+            back_cls = nn.remat(back_cls)
+            fwd_cls = nn.remat(fwd_cls)
+
+        BackScan = nn.scan(
+            back_cls, variable_broadcast="params",
+            split_rngs={"params": False}, in_axes=1, out_axes=1, reverse=True)
+        (bwd_final, _), bwd_stack = BackScan(cfg, name="bwd")(
+            (enc_state_zeros, x_blocks), e)
+
+        # decoder states at POST-upsample resolution per decoder stage
+        dec_state_zeros = tuple(
+            jnp.zeros((b,
+                       h // 2 ** (cfg.num_encoders - i - 1),
+                       w // 2 ** (cfg.num_encoders - i - 1),
+                       cfg.encoder_out_sizes[cfg.num_encoders - i - 1] // 2),
+                      dt)
+            for i in range(cfg.num_encoders))
+
+        FwdScan = nn.scan(
+            fwd_cls, variable_broadcast="params",
+            split_rngs={"params": False}, in_axes=1, out_axes=1)
+        if cfg.aliased_backward_states:
+            carry0 = (enc_state_zeros, dec_state_zeros, x_blocks, head,
+                      bwd_final)
+            xs = e
+        else:
+            carry0 = (enc_state_zeros, dec_state_zeros, x_blocks, head)
+            xs = (e, bwd_stack)
+        _, out = FwdScan(cfg, name="fwd")(carry0, xs)
+        return out
+
+
+def build_model(arch_opt: dict) -> Tuple[FinalBidirectionAttenfusion, RefidConfig]:
+    """Build from a reference-style ``network_g`` YAML dict."""
+    cfg = RefidConfig(
+        img_chn=arch_opt["img_chn"],
+        ev_chn=arch_opt["ev_chn"],
+        out_chn=arch_opt.get("out_chn", 3),
+        num_encoders=arch_opt.get("num_encoders", 3),
+        base_num_channels=arch_opt.get("base_num_channels", 32),
+        num_block=arch_opt.get("num_block", 1),
+        num_residual_blocks=arch_opt.get("num_residual_blocks", 2),
+    )
+    return FinalBidirectionAttenfusion(cfg), cfg

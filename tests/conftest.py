@@ -8,3 +8,9 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Parity tests compare against torch fp32; the XLA default conv/matmul
+# precision is reduced (bf16-class), so pin full fp32 accumulation here.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,119 @@
+"""Forward-parity of the flax FinalBidirectionAttenfusion against the
+reference torch network with converted weights.
+
+This is the load-bearing correctness oracle (SURVEY.md §7): if a randomly
+initialized reference model and the converted flax model agree on random
+inputs, released ``.pth`` checkpoints will reproduce published PSNR.
+"""
+
+import numpy as np
+import pytest
+
+from tests.reference_loader import reference_available, load_reference_archs
+
+from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+from refid_tpu.models.convert import convert_state_dict
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference tree not mounted")
+
+
+def _build_pair(img_chn=6, ev_chn=2, base=8, num_encoders=3, num_block=1,
+                num_residual_blocks=2, seed=0):
+    import torch
+    torch.manual_seed(seed)
+    arch = load_reference_archs()
+    tmodel = arch.FinalBidirectionAttenfusion(
+        img_chn=img_chn, ev_chn=ev_chn, out_chn=3,
+        num_encoders=num_encoders, base_num_channels=base,
+        num_residual_blocks=num_residual_blocks, num_block=num_block,
+        use_first_dcn=False)
+    tmodel.eval()
+
+    cfg = RefidConfig(img_chn=img_chn, ev_chn=ev_chn, out_chn=3,
+                      num_encoders=num_encoders, base_num_channels=base,
+                      num_block=num_block,
+                      num_residual_blocks=num_residual_blocks)
+    jmodel = FinalBidirectionAttenfusion(cfg)
+    params = convert_state_dict(tmodel.state_dict(), cfg)
+    return tmodel, jmodel, params, cfg
+
+
+def test_param_tree_matches_init():
+    import jax
+    import jax.numpy as jnp
+    import flax
+
+    tmodel, jmodel, params, cfg = _build_pair()
+    init = jmodel.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 8, 8, cfg.img_chn)),
+                       jnp.zeros((1, 2, 8, 8, cfg.ev_chn)))
+    got = set(flax.traverse_util.flatten_dict(params["params"], sep="/"))
+    want = set(flax.traverse_util.flatten_dict(init["params"], sep="/"))
+    assert got == want, (sorted(want - got), sorted(got - want))
+    # shapes must agree too
+    gotf = flax.traverse_util.flatten_dict(params["params"], sep="/")
+    wantf = flax.traverse_util.flatten_dict(init["params"], sep="/")
+    for k in wantf:
+        assert gotf[k].shape == wantf[k].shape, (
+            k, gotf[k].shape, wantf[k].shape)
+
+
+def test_forward_parity_full_model():
+    import torch
+    import jax.numpy as jnp
+
+    tmodel, jmodel, params, cfg = _build_pair()
+    rng = np.random.RandomState(0)
+    b, t, h, w = 1, 5, 32, 32
+    x = rng.randn(b, 2, 3, h, w).astype(np.float32)
+    ev = rng.randn(b, t, cfg.ev_chn, h, w).astype(np.float32)
+
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x), torch.from_numpy(ev)).numpy()
+
+    jx = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))     # b,2,h,w,c
+    jev = jnp.asarray(np.transpose(ev, (0, 1, 3, 4, 2)))   # b,t,h,w,c
+    jout = np.asarray(jmodel.apply(params, jx, jev))       # b,t,h,w,c
+    jout = np.transpose(jout, (0, 1, 4, 2, 3))
+
+    assert jout.shape == tout.shape
+    diff = np.abs(jout - tout).max()
+    assert diff < 2e-4, f"max abs diff {diff}"
+
+
+def test_forward_parity_batch2_t3():
+    import torch
+    import jax.numpy as jnp
+
+    tmodel, jmodel, params, cfg = _build_pair(seed=1)
+    rng = np.random.RandomState(1)
+    b, t, h, w = 2, 3, 16, 16
+    x = rng.randn(b, 2, 3, h, w).astype(np.float32)
+    ev = rng.randn(b, t, cfg.ev_chn, h, w).astype(np.float32)
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x), torch.from_numpy(ev)).numpy()
+    jout = np.asarray(jmodel.apply(
+        params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))),
+        jnp.asarray(np.transpose(ev, (0, 1, 3, 4, 2)))))
+    diff = np.abs(np.transpose(jout, (0, 1, 4, 2, 3)) - tout).max()
+    assert diff < 2e-4, f"max abs diff {diff}"
+
+
+def test_fixed_bidirectional_mode_differs_and_runs():
+    """Non-aliased mode (true per-frame backward states) must produce a
+    DIFFERENT output than parity mode (proving states aren't constant)."""
+    import jax
+    import jax.numpy as jnp
+
+    _, jmodel, params, cfg = _build_pair(seed=2)
+    cfg_fixed = RefidConfig(**{**cfg.__dict__, "aliased_backward_states": False})
+    jmodel_fixed = FinalBidirectionAttenfusion(cfg_fixed)
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 16, 16, cfg.img_chn).astype(np.float32))
+    ev = jnp.asarray(rng.randn(1, 4, 16, 16, cfg.ev_chn).astype(np.float32))
+    out_a = np.asarray(jmodel.apply(params, x, ev))
+    out_f = np.asarray(jmodel_fixed.apply(params, x, ev))
+    assert out_a.shape == out_f.shape
+    assert np.abs(out_a - out_f).max() > 1e-6
