@@ -1,0 +1,72 @@
+"""Training losses (parity: basicsr/models/losses/losses.py).
+
+All losses take (pred, target[, weight]) and support 'none'|'mean'|'sum'
+reduction like the reference's ``weighted_loss`` decorator
+(basicsr/models/losses/loss_util.py:57-95).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax.numpy as jnp
+
+__all__ = ["charbonnier_loss", "l1_loss", "mse_loss", "psnr_loss",
+           "build_loss"]
+
+
+def _reduce(x, weight, reduction):
+    if weight is not None:
+        x = x * weight
+    if reduction == "none":
+        return x
+    if reduction == "mean":
+        return jnp.mean(x)
+    if reduction == "sum":
+        return jnp.sum(x)
+    raise ValueError(f"Unsupported reduction mode: {reduction}")
+
+
+def charbonnier_loss(pred, target, weight=None, eps=1e-12, loss_weight=1.0,
+                     reduction="mean"):
+    """sqrt((pred-target)^2 + eps) — the production loss (losses.py:143-173).
+    Note eps is the reference's 1e-12 (not squared)."""
+    return loss_weight * _reduce(
+        jnp.sqrt((pred - target) ** 2 + eps), weight, reduction)
+
+
+def l1_loss(pred, target, weight=None, loss_weight=1.0, reduction="mean"):
+    return loss_weight * _reduce(jnp.abs(pred - target), weight, reduction)
+
+
+def mse_loss(pred, target, weight=None, loss_weight=1.0, reduction="mean"):
+    return loss_weight * _reduce((pred - target) ** 2, weight, reduction)
+
+
+def psnr_loss(pred, target, loss_weight=1.0):
+    """Negative-PSNR-style loss (losses.py:95-120, toY=False path):
+    scale * mean_batch(log(mse_per_image + 1e-8)).  Expects 4-D inputs."""
+    assert pred.ndim == 4
+    scale = 10.0 / jnp.log(10.0)
+    per_image = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
+    return loss_weight * scale * jnp.mean(jnp.log(per_image + 1e-8))
+
+
+_LOSSES = {
+    "CharbonnierLoss": charbonnier_loss,
+    "L1Loss": l1_loss,
+    "MSELoss": mse_loss,
+    "PSNRLoss": psnr_loss,
+}
+
+
+def build_loss(opt: dict):
+    """Build a loss fn from a reference-style ``pixel_opt`` dict, e.g.
+    ``{type: CharbonnierLoss, loss_weight: 1.0, reduction: mean}``."""
+    opt = dict(opt)
+    loss_type = opt.pop("type")
+    if loss_type not in _LOSSES:
+        raise ValueError(f"unknown loss {loss_type!r}")
+    fn = _LOSSES[loss_type]
+    return partial(fn, **opt)

@@ -14,3 +14,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compilation cache: re-runs of the (slow, 1-core) test suite
+# reuse compiled executables instead of re-tracing everything
+jax.config.update("jax_compilation_cache_dir", "/tmp/refid_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
