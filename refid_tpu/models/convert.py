@@ -89,8 +89,9 @@ def convert_state_dict(state_dict: Dict, cfg: RefidConfig) -> Dict:
 
     flat: Dict[str, np.ndarray] = {}
 
-    flat["head/conv/kernel"] = _conv_w(src["head.conv2d.weight"])
-    flat["head/conv/bias"] = _vec(src["head.conv2d.bias"])
+    # event head: declared via ConvParams (applied inside the scans)
+    flat["head/kernel"] = _conv_w(src["head.conv2d.weight"])
+    flat["head/bias"] = _vec(src["head.conv2d.bias"])
     flat["head_img/conv/kernel"] = _conv_w(src["head_img.conv2d.weight"])
     flat["head_img/conv/bias"] = _vec(src["head_img.conv2d.bias"])
 

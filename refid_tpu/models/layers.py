@@ -219,3 +219,37 @@ def conv_transpose_up(x, features, kernel_size=2, *, dtype=None, name=None):
         dtype=dtype,
         name=name,
     )(x)
+
+
+class ConvParams(nn.Module):
+    """Declares conv kernel+bias params without applying them — used when a
+    conv must run inside a scanned step with params owned by the parent
+    (e.g. the shared event head applied per frame in both scan directions)."""
+    features: int
+    in_features: int
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        fan_in = self.in_features * k * k
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init,
+            (k, k, self.in_features, self.features))
+        bias = self.param("bias", _bias_init_for(fan_in), (self.features,))
+        return kernel, bias
+
+
+def apply_conv(x, kernel, bias=None, stride=1, padding=0, relu_slope=None,
+               dtype=None):
+    """Functional NHWC conv for scan bodies (params passed as arrays)."""
+    if dtype is not None:
+        x, kernel = x.astype(dtype), kernel.astype(dtype)
+    out = jax.lax.conv_general_dilated(
+        x, kernel, (stride, stride), [(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + (bias.astype(dtype) if dtype is not None else bias)
+    if relu_slope is not None:
+        out = leaky_relu(out, relu_slope)
+    return out

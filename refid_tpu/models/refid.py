@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from refid_tpu.models.layers import (
-    ConvLayer, ImageEncoderConvBlock, ResidualBlock,
+    ConvLayer, ConvParams, ImageEncoderConvBlock, ResidualBlock, apply_conv,
 )
 from refid_tpu.models.recurrent import (
     RecurrentEncoderStage, TransposeRecurrentConvLayer,
@@ -80,11 +80,14 @@ class _BackwardStep(nn.Module):
     cfg: RefidConfig
 
     @nn.compact
-    def __call__(self, carry, e_t):
-        states, x_blocks = carry
+    def __call__(self, carry, ev_t):
+        states, x_blocks, head_kb = carry
         cfg = self.cfg
         new_states = []
-        e = e_t
+        # shared event head applied per frame (params owned by the parent);
+        # avoids materializing the (b, t, h, w, base) head activation
+        e = apply_conv(ev_t, head_kb[0], head_kb[1], 1, 2, relu_slope=0.2,
+                       dtype=cfg.dtype)
         for i in range(cfg.num_encoders):
             y = None if i == 0 else x_blocks[i - 1]
             e, s = RecurrentEncoderStage(
@@ -99,7 +102,7 @@ class _BackwardStep(nn.Module):
             new_states.append(s)
         new_states = tuple(new_states)
         ys = () if cfg.aliased_backward_states else new_states
-        return (new_states, x_blocks), ys
+        return (new_states, x_blocks, head_kb), ys
 
 
 class _ForwardStep(nn.Module):
@@ -112,11 +115,13 @@ class _ForwardStep(nn.Module):
         cfg = self.cfg
         if cfg.aliased_backward_states:
             # parity: the (constant) final backward state rides the carry
-            fwd_states, dec_states, x_blocks, head, bwd_states = carry
-            e_t = xs
+            fwd_states, dec_states, x_blocks, head, head_kb, bwd_states = carry
+            ev_t = xs
         else:
-            fwd_states, dec_states, x_blocks, head = carry
-            e_t, bwd_states = xs
+            fwd_states, dec_states, x_blocks, head, head_kb = carry
+            ev_t, bwd_states = xs
+        e_t = apply_conv(ev_t, head_kb[0], head_kb[1], 1, 2, relu_slope=0.2,
+                         dtype=cfg.dtype)
 
         e = e_t
         new_fwd = []
@@ -155,9 +160,10 @@ class _ForwardStep(nn.Module):
                         dtype=cfg.dtype, name="pred")(e + head)
         if cfg.aliased_backward_states:
             new_carry = (tuple(new_fwd), tuple(new_dec), x_blocks, head,
-                         bwd_states)
+                         head_kb, bwd_states)
         else:
-            new_carry = (tuple(new_fwd), tuple(new_dec), x_blocks, head)
+            new_carry = (tuple(new_fwd), tuple(new_dec), x_blocks, head,
+                         head_kb)
         return new_carry, out
 
 
@@ -183,10 +189,9 @@ class FinalBidirectionAttenfusion(nn.Module):
         b, t, h, w, _ = event.shape
         base = cfg.base_num_channels
 
-        # heads: event head batched over (b*t), image head once
-        ev = event.reshape(b * t, h, w, event.shape[-1])
-        e = ConvLayer(base, 5, 1, 2, 0.2, dtype=cfg.dtype, name="head")(ev)
-        e = e.reshape(b, t, h, w, base)
+        # event head params (applied per frame INSIDE the scans, shared by
+        # both directions like the reference single ``head`` module)
+        head_kb = ConvParams(base, cfg.ev_chn, 5, name="head")()
 
         xh = ConvLayer(base, 5, 1, 2, 0.2, dtype=cfg.dtype, name="head_img")(x)
         head = xh
@@ -215,8 +220,8 @@ class FinalBidirectionAttenfusion(nn.Module):
         BackScan = nn.scan(
             back_cls, variable_broadcast="params",
             split_rngs={"params": False}, in_axes=1, out_axes=1, reverse=True)
-        (bwd_final, _), bwd_stack = BackScan(cfg, name="bwd")(
-            (enc_state_zeros, x_blocks), e)
+        (bwd_final, _, _), bwd_stack = BackScan(cfg, name="bwd")(
+            (enc_state_zeros, x_blocks, head_kb), event)
 
         # decoder states at POST-upsample resolution per decoder stage
         dec_state_zeros = tuple(
@@ -232,11 +237,12 @@ class FinalBidirectionAttenfusion(nn.Module):
             split_rngs={"params": False}, in_axes=1, out_axes=1)
         if cfg.aliased_backward_states:
             carry0 = (enc_state_zeros, dec_state_zeros, x_blocks, head,
-                      bwd_final)
-            xs = e
+                      head_kb, bwd_final)
+            xs = event
         else:
-            carry0 = (enc_state_zeros, dec_state_zeros, x_blocks, head)
-            xs = (e, bwd_stack)
+            carry0 = (enc_state_zeros, dec_state_zeros, x_blocks, head,
+                      head_kb)
+            xs = (event, bwd_stack)
         _, out = FwdScan(cfg, name="fwd")(carry0, xs)
         return out
 

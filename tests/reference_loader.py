@@ -99,3 +99,59 @@ def load_reference_archs():
 def load_reference_event_util():
     return load_reference_module("basicsr/data/event_util.py",
                                  "basicsr.data.event_util")
+
+
+def load_reference_dataset_module():
+    """Load basicsr.data.image_npy_dataset with functional IO stubs."""
+    import cv2
+    import numpy as np
+    import torch
+
+    _install_stubs()
+
+    # torchvision.transforms.functional.normalize (imported, unused)
+    tvt = _stub("torchvision.transforms")
+    _stub("torchvision.transforms.functional", normalize=lambda *a, **k: None)
+    sys.modules["torchvision"].transforms = tvt
+
+    class _FileClient:
+        def __init__(self, backend="disk", **kwargs):
+            pass
+
+        def get(self, filepath, client_key=None):
+            with open(filepath, "rb") as f:
+                return f.read()
+
+    def _imfrombytes(content, flag="color", float32=False):
+        img = cv2.imdecode(np.frombuffer(content, np.uint8), cv2.IMREAD_COLOR)
+        if float32:
+            img = img.astype(np.float32) / 255.0
+        return img
+
+    def _img2tensor(imgs, bgr2rgb=True, float32=True):
+        def _to(img):
+            if img.shape[2] == 3 and bgr2rgb:
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            t = torch.from_numpy(img.transpose(2, 0, 1))
+            return t.float() if float32 else t
+        return [_to(i) for i in imgs] if isinstance(imgs, list) else _to(imgs)
+
+    def _voxel2voxeltensor(voxels, float32=True):
+        def _to(v):
+            t = torch.from_numpy(v.transpose(2, 0, 1))
+            return t.float() if float32 else t
+        return [_to(v) for v in voxels] if isinstance(voxels, list) else _to(voxels)
+
+    _stub("basicsr.utils", FileClient=_FileClient, imfrombytes=_imfrombytes,
+          img2tensor=_img2tensor, voxel2voxeltensor=_voxel2voxeltensor,
+          padding=lambda lq, gt, s: (lq, gt),
+          scandir=lambda *a, **k: iter(()))
+
+    load_reference_module("basicsr/data/event_util.py",
+                          "basicsr.data.event_util")
+    load_reference_module("basicsr/data/transforms.py",
+                          "basicsr.data.transforms")
+    load_reference_module("basicsr/data/data_util.py",
+                          "basicsr.data.data_util")
+    return load_reference_module("basicsr/data/image_npy_dataset.py",
+                                 "basicsr.data.image_npy_dataset")
