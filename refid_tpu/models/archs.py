@@ -1,0 +1,44 @@
+"""Arch registry entries: reference ``network_g.type`` -> flax module builder.
+
+Each builder takes the ``network_g`` option dict and returns a flax Module.
+The ablation lineage of the final architecture (unidirectional, no-attention,
+decoder variants — XXNet_*_arch.py) is expressed as config switches on the
+same module rather than file copies.
+"""
+
+from __future__ import annotations
+
+from refid_tpu.core.registry import ARCHS
+from refid_tpu.models.refid import FinalBidirectionAttenfusion, RefidConfig
+
+
+def _refid_cfg(opt: dict, **overrides) -> RefidConfig:
+    kw = dict(
+        img_chn=opt["img_chn"],
+        ev_chn=opt["ev_chn"],
+        out_chn=opt.get("out_chn", 3),
+        num_encoders=opt.get("num_encoders", 3),
+        base_num_channels=opt.get("base_num_channels", 32),
+        num_block=opt.get("num_block", 1),
+        num_residual_blocks=opt.get("num_residual_blocks", 2),
+        aliased_backward_states=opt.get("aliased_backward_states", True),
+        remat=opt.get("remat", False),
+    )
+    kw.update(overrides)
+    if opt.get("compute_dtype") == "bfloat16":
+        import jax.numpy as jnp
+        kw["dtype"] = jnp.bfloat16
+    return RefidConfig(**kw)
+
+
+@ARCHS.register("FinalBidirectionAttenfusion")
+def final_bidirection_attenfusion(opt: dict):
+    """The production network (XXNet_final_attenfusion_arch.py:81-218)."""
+    return FinalBidirectionAttenfusion(_refid_cfg(opt))
+
+
+@ARCHS.register("FinalBidirection")
+def final_bidirection(opt: dict):
+    """Ablation: additive fusion everywhere, no EGACA
+    (XXNet_decoder_recurrent_allbidirection_arch.py lineage)."""
+    return FinalBidirectionAttenfusion(_refid_cfg(opt, atten_fuse_at=()))

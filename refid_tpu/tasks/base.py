@@ -1,0 +1,152 @@
+"""Task layer (the reference's L4 "model" classes).
+
+A task owns: the flax network (from the ARCHS registry), train state
+(optax + optional EMA), jitted step/predict functions, checkpoint manager,
+and validation logic.  It replaces the reference's per-task-x-(train|test)
+class explosion (basicsr/models/*_model.py, ~3.5k LoC of copies) — test-mode
+is just ``is_train=False``.
+
+Device placement: batches are device_put with batch-dim sharding over the
+mesh ('data' axis); XLA GSPMD handles the DP gradient allreduce
+(vs DistributedDataParallel at base_model.py:57-75).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from refid_tpu.core.registry import ARCHS, MODELS
+from refid_tpu.core.checkpoint import CheckpointManager
+from refid_tpu.models import archs as _archs  # noqa: F401 (registers archs)
+from refid_tpu.train.losses import build_loss
+from refid_tpu.train.trainer import (TrainState, build_optimizer,
+                                     create_train_state, make_train_step)
+from refid_tpu.parallel import make_mesh, shard_batch, replicate_sharding
+
+__all__ = ["RestorationTaskBase", "build_task"]
+
+
+def build_task(opt: dict):
+    cls = MODELS.get(opt["model_type"])
+    return cls(opt)
+
+
+class RestorationTaskBase:
+    """Common wiring; subclasses define feed/predict/validation semantics."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.is_train = opt.get("is_train", True)
+        self.net = ARCHS.get(opt["network_g"]["type"])(opt["network_g"])
+        self.params: Optional[Any] = None
+        self.state: Optional[TrainState] = None
+        self.start_iter = 0
+        self.start_epoch = 0
+        self._predict_jit = jax.jit(self.net.apply)
+
+        spatial = opt.get("mesh", {}).get("spatial", 1)
+        self.mesh = make_mesh(data=-1, spatial=spatial)
+
+        self.ema_decay = None
+        if self.is_train and "train" in opt:
+            t = opt["train"]
+            self.loss_fn = build_loss(t.get("pixel_opt", {
+                "type": "CharbonnierLoss", "loss_weight": 1.0,
+                "reduction": "mean"}))
+            self.tx, self.lr_schedule = build_optimizer(
+                t, t.get("total_iter", 200000))
+            self.ema_decay = t.get("ema_decay")
+            self._train_step = make_train_step(
+                self.net.apply, self.loss_fn, ema_decay=self.ema_decay)
+        self.ckpt: Optional[CheckpointManager] = None
+        models_dir = opt.get("path", {}).get("models")
+        if models_dir:
+            self.ckpt = CheckpointManager(models_dir)
+
+    # --- parameter lifecycle -------------------------------------------------
+
+    def init_params(self, sample_batch: Dict[str, np.ndarray], seed: int = 0):
+        lq = jnp.asarray(sample_batch["lq"][:1])
+        vox = jnp.asarray(sample_batch["voxel"][:1])
+        self.params = self.net.init(jax.random.PRNGKey(seed), lq, vox)
+        return self.params
+
+    def load_pretrained(self, path: str, param_key: str = "params"):
+        """Load reference ``.pth`` (converted) or an orbax dir."""
+        if path.endswith(".pth"):
+            from refid_tpu.models.convert import load_pth_params
+            cfg = getattr(self.net, "cfg", None)
+            self.params = load_pth_params(path, cfg, param_key)
+        else:
+            mgr = CheckpointManager(path)
+            restored = mgr.restore()
+            self.params = restored["params"]
+        return self.params
+
+    def setup_train_state(self):
+        assert self.params is not None, "call init_params/load_pretrained first"
+        state = create_train_state(self.params, self.tx,
+                                   ema_decay=self.ema_decay)
+        self.state = jax.device_put(state, replicate_sharding(self.mesh))
+        return self.state
+
+    # --- checkpointing / resume ---------------------------------------------
+
+    def save(self, current_iter: int, epoch: int = 0):
+        if self.ckpt is None:
+            return
+        st = self.state
+        self.ckpt.save(current_iter, st.params if st else self.params,
+                       opt_state=st.opt_state if st else None,
+                       ema_params=st.ema_params if st else None, epoch=epoch)
+
+    def auto_resume(self) -> bool:
+        """Resume from the latest checkpoint if one exists
+        (reference: train.py:143-163)."""
+        if self.ckpt is None or self.ckpt.latest_step() is None:
+            return False
+        assert self.state is not None, "setup_train_state before auto_resume"
+        template = {"params": self.state.params,
+                    "opt_state": self.state.opt_state,
+                    "epoch": np.asarray(0, np.int64)}
+        if self.state.ema_params is not None:
+            template["ema_params"] = self.state.ema_params
+        restored = self.ckpt.restore(template=template)
+        step = self.ckpt.latest_step()
+        self.state = self.state.replace(
+            step=jnp.asarray(step, jnp.int32),
+            params=restored["params"], opt_state=restored["opt_state"],
+            ema_params=restored.get("ema_params"))
+        self.params = self.state.params
+        self.start_iter = step
+        self.start_epoch = int(restored.get("epoch", 0))
+        return True
+
+    # --- steps ----------------------------------------------------------------
+
+    def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        dev_batch = shard_batch(
+            {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
+            self.mesh)
+        self.state, metrics = self._train_step(
+            self.state, dev_batch["lq"], dev_batch["voxel"], dev_batch["gt"])
+        return metrics
+
+    def predict(self, lq: np.ndarray, voxel: np.ndarray,
+                use_ema: bool = False) -> np.ndarray:
+        params = self.params
+        if use_ema and self.state is not None and self.state.ema_params:
+            params = self.state.ema_params
+        elif self.state is not None:
+            params = self.state.params
+        return self._predict_jit(params, jnp.asarray(lq), jnp.asarray(voxel))
+
+    def current_lr(self) -> float:
+        step = int(self.state.step) if self.state is not None else 0
+        return float(self.lr_schedule(step))
