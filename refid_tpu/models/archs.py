@@ -42,3 +42,19 @@ def final_bidirection(opt: dict):
     """Ablation: additive fusion everywhere, no EGACA
     (XXNet_decoder_recurrent_allbidirection_arch.py lineage)."""
     return FinalBidirectionAttenfusion(_refid_cfg(opt, atten_fuse_at=()))
+
+
+@ARCHS.register("SingleMultiConnectEVHINet")
+def single_multiconnect_evhinet(opt: dict):
+    """Event-guided HINet for single-image deblurring
+    (single_multiconnect_evhinet_arch.py:66-167)."""
+    from refid_tpu.models.evhinet import EVHINet
+    kw = dict(in_chn=opt.get("in_chn", 3), ev_chn=opt.get("ev_chn", 6),
+              wf=opt.get("wf", 64), depth=opt.get("depth", 3),
+              fac_place=opt.get("fac_place", 2),
+              hin_left=opt.get("hin_position_left", 0),
+              hin_right=opt.get("hin_position_right", 4))
+    if opt.get("compute_dtype") == "bfloat16":
+        import jax.numpy as jnp
+        kw["dtype"] = jnp.bfloat16
+    return EVHINet(**kw)

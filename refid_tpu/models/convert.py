@@ -157,3 +157,61 @@ def load_pth_params(path: str, cfg: RefidConfig, param_key: str = "params"):
     elif "params_ema" in ckpt:
         ckpt = ckpt["params_ema"]
     return convert_state_dict(ckpt, cfg)
+
+
+def _hin_block_map(dst, src, tprefix: str, fprefix: str, has_down: bool,
+                   is_ev: bool = False):
+    for tname, fname in [("conv_1", "conv1"), ("conv_2", "conv2"),
+                         ("identity", "identity")]:
+        dst[f"{fprefix}/{fname}/kernel"] = _conv_w(src[f"{tprefix}.{tname}.weight"])
+        dst[f"{fprefix}/{fname}/bias"] = _vec(src[f"{tprefix}.{tname}.bias"])
+    if f"{tprefix}.norm.weight" in src:
+        dst[f"{fprefix}/hin_scale"] = _vec(src[f"{tprefix}.norm.weight"])
+        dst[f"{fprefix}/hin_bias"] = _vec(src[f"{tprefix}.norm.bias"])
+    if is_ev:
+        dst[f"{fprefix}/merge/kernel"] = _conv_w(
+            src[f"{tprefix}.conv_before_merge.weight"])
+        dst[f"{fprefix}/merge/bias"] = _vec(
+            src[f"{tprefix}.conv_before_merge.bias"])
+    if has_down:
+        dst[f"{fprefix}/down/kernel"] = _conv_w(
+            src[f"{tprefix}.downsample.weight"])
+
+
+def convert_evhinet_state_dict(state_dict: Dict, depth: int = 3,
+                               fac_place: int = 2) -> Dict:
+    """Convert a reference SingleMultiConnectEVHINet state_dict (used stage-1
+    path only; the dead stage-2 modules are skipped)."""
+    import flax
+
+    src = {k[len("module."):] if k.startswith("module.") else k:
+           (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+           for k, v in state_dict.items()}
+    flat: Dict[str, np.ndarray] = {}
+
+    for name in ["conv_ev1", "conv_01"]:
+        flat[f"{name}/kernel"] = _conv_w(src[f"{name}.weight"])
+        flat[f"{name}/bias"] = _vec(src[f"{name}.bias"])
+
+    for i in range(min(fac_place + 1, depth)):
+        _hin_block_map(flat, src, f"down_path_ev.{i}", f"ev_{i}",
+                       has_down=(i + 1) < depth, is_ev=True)
+    for i in range(depth):
+        _hin_block_map(flat, src, f"down_path_1.{i}", f"down_{i}",
+                       has_down=(i + 1) < depth)
+    for idx in range(depth - 1):
+        flat[f"up_{idx}/kernel"] = _deconv_w(
+            src[f"up_path_1.{idx}.up.weight"])
+        flat[f"up_{idx}/bias"] = _vec(src[f"up_path_1.{idx}.up.bias"])
+        _hin_block_map(flat, src, f"up_path_1.{idx}.conv_block",
+                       f"upblk_{idx}", has_down=False)
+        flat[f"skip_{idx}/kernel"] = _conv_w(src[f"skip_conv_1.{idx}.weight"])
+        flat[f"skip_{idx}/bias"] = _vec(src[f"skip_conv_1.{idx}.bias"])
+    for c in ["conv1", "conv2", "conv3"]:
+        flat[f"sam12/{c}/kernel"] = _conv_w(src[f"sam12.{c}.weight"])
+        flat[f"sam12/{c}/bias"] = _vec(src[f"sam12.{c}.bias"])
+
+    params = flax.traverse_util.unflatten_dict(
+        {tuple(k.split("/")): np.asarray(v, np.float32)
+         for k, v in flat.items()})
+    return {"params": params}
