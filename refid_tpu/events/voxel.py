@@ -47,6 +47,17 @@ def events_to_voxel_grid(events, num_bins, width, height, return_format="CHW"):
     if return_format not in ("CHW", "HWC"):
         raise ValueError(f"unknown return_format {return_format!r}")
 
+    # native C++ fast path (~80x over np.add.at on this host); identical
+    # semantics, see native/voxelize.cc
+    import os as _os
+    if events.shape[0] > 0 and not _os.environ.get("REFID_TPU_NO_NATIVE"):
+        from refid_tpu.ops.native import voxelize_native_or_none
+        grid = voxelize_native_or_none(events, num_bins, width, height)
+        if grid is not None:
+            if return_format == "CHW":
+                return grid
+            return grid.transpose(1, 2, 0)
+
     voxel_grid = np.zeros((num_bins * height * width,), np.float32)
     if events.shape[0] > 0:
         first_stamp = events[0, 0]

@@ -58,3 +58,51 @@ def single_multiconnect_evhinet(opt: dict):
         import jax.numpy as jnp
         kw["dtype"] = jnp.bfloat16
     return EVHINet(**kw)
+
+
+# --- ablation lineage ---------------------------------------------------
+# The reference keeps each paper ablation as a separate arch FILE
+# (XXNet_arch.py, XXNet_decoder_recurrent*_arch.py, XXNet_ps_*). Here they
+# are flag combinations on the final architecture: structural analogs for
+# running the same ablation axes, not weight-compatible ports of the early
+# prototype files (only FinalBidirectionAttenfusion has released weights).
+
+@ARCHS.register("UNetRecurrent")
+def unet_recurrent(opt: dict):
+    """Unidirectional encoder recurrence, non-recurrent decoder
+    (XXNet_arch.py:76 lineage)."""
+    return FinalBidirectionAttenfusion(_refid_cfg(
+        opt, bidirectional=False, atten_fuse_at=(),
+        decoder_type="upsample_conv",
+        recurrent_cell=opt.get("recurrent_block_type", "convlstm")))
+
+
+@ARCHS.register("UNetDecoderRecurrent")
+def unet_decoder_recurrent(opt: dict):
+    """Unidirectional + recurrent decoder
+    (XXNet_decoder_recurrent_arch.py:77 lineage)."""
+    return FinalBidirectionAttenfusion(_refid_cfg(
+        opt, bidirectional=False, atten_fuse_at=()))
+
+
+@ARCHS.register("BidirUNetRecurrent")
+def bidir_unet_recurrent(opt: dict):
+    """Bidirectional encoder, non-recurrent decoder
+    (XXNet_bidirection_arch.py:76 lineage)."""
+    return FinalBidirectionAttenfusion(_refid_cfg(
+        opt, atten_fuse_at=(), decoder_type="upsample_conv"))
+
+
+@ARCHS.register("UNetDecoderRecurrentBidirection")
+@ARCHS.register("UNetDecoderRecurrentAllBidirection")
+def unet_decoder_recurrent_bidir(opt: dict):
+    """Bidirectional + recurrent decoder, additive fusion
+    (XXNet_decoder_recurrent_{bidirection,allbidirection}_arch.py)."""
+    return FinalBidirectionAttenfusion(_refid_cfg(opt, atten_fuse_at=()))
+
+
+@ARCHS.register("UNetPSDecoderRecurrent")
+def unet_ps_decoder_recurrent(opt: dict):
+    """Pixel-shuffle recurrent decoder (XXNet_ps_decoder_recurrent_arch.py)."""
+    return FinalBidirectionAttenfusion(_refid_cfg(
+        opt, atten_fuse_at=(), decoder_type="pixelshuffle_recurrent"))

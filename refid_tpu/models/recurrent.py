@@ -90,11 +90,13 @@ class ConvLSTM(nn.Module):
 class RecurrentEncoderStage(nn.Module):
     """One scale of the event encoder:
 
-    fuse(img feat) -> [conv | EGACA] -> SimpleRecurrentConv
+    fuse(img feat) -> [conv | EGACA] -> recurrent cell
     -> optional bidirectional-state 1x1 fuse -> 4x4/2 downsample.
 
     Returns (downsampled_feat, new_state); the state lives at the PRE-down
-    resolution with ``out_ch`` channels.
+    resolution with ``out_ch`` channels.  ``cell`` selects the recurrence
+    (the reference's recurrent_block_type ablation axis): 'simpleconv'
+    (production), 'convgru', or 'convlstm' (state = (hidden, cell)).
     """
     in_ch: int
     out_ch: int
@@ -102,6 +104,7 @@ class RecurrentEncoderStage(nn.Module):
     use_atten_fuse: bool = False
     fuse_two_direction: bool = False
     relu_slope: float = 0.2
+    cell: str = "simpleconv"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -119,11 +122,22 @@ class RecurrentEncoderStage(nn.Module):
                           dtype=self.dtype, name="conv")(x)
             x = leaky_relu(x, self.relu_slope)
 
-        x, state = SimpleRecurrentConv(self.out_ch, self.num_block,
-                                       dtype=self.dtype, name="rec")(
-                                           x, prev_state)
+        if self.cell == "simpleconv":
+            x, state = SimpleRecurrentConv(self.out_ch, self.num_block,
+                                           dtype=self.dtype, name="rec")(
+                                               x, prev_state)
+        elif self.cell == "convgru":
+            x, state = ConvGRU(self.out_ch, dtype=self.dtype,
+                               name="rec")(x, prev_state)
+        elif self.cell == "convlstm":
+            x, state = ConvLSTM(self.out_ch, dtype=self.dtype,
+                                name="rec")(x, prev_state)
+        else:
+            raise ValueError(f"unknown recurrent cell {self.cell!r}")
         if bi_direction_state is not None:
             assert self.fuse_two_direction
+            if isinstance(bi_direction_state, tuple):  # convlstm: use hidden
+                bi_direction_state = bi_direction_state[0]
             x = jnp.concatenate([x, bi_direction_state], axis=-1)
             x = ConvLayer(self.out_ch, 1, 1, 0, self.relu_slope,
                           dtype=self.dtype, name="fuse_bidir")(x)
@@ -146,3 +160,38 @@ class TransposeRecurrentConvLayer(nn.Module):
         out = ConvResidualBlocks(self.out_ch, self.num_block,
                                  dtype=self.dtype, name="trunk")(out)
         return out, out
+
+
+class PixelShuffleRecurrentConvLayer(nn.Module):
+    """Decoder ablation: pixel-shuffle x2 upsample, concat hidden state,
+    ConvResidualBlocks trunk (recurrent_sub_modules.py:411-440)."""
+    out_ch: int
+    num_block: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, prev_state):
+        b, h, w, c = x.shape
+        # NHWC pixel shuffle r=2: (b,h,w,c) -> (b,2h,2w,c/4)
+        out = x.reshape(b, h, w, 2, 2, c // 4)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c // 4)
+        out = jnp.concatenate([out, prev_state], axis=-1)
+        out = ConvResidualBlocks(self.out_ch, self.num_block,
+                                 dtype=self.dtype, name="trunk")(out)
+        return out, out
+
+
+class UpsampleConvLayer(nn.Module):
+    """Decoder ablation: bilinear x2 upsample + k5 conv + relu, NO recurrence
+    (recurrent_sub_modules.py:336-367; use_recurrent_upsample_conv=False
+    path of the final arch, kernel per XXNet_arch.py build_decoders k5 p2)."""
+    out_ch: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, prev_state=None):
+        b, h, w, c = x.shape
+        up = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+        out = nn.relu(conv2d(up, self.out_ch, 5, 1, 2, dtype=self.dtype,
+                             name="conv"))
+        return out, prev_state

@@ -38,7 +38,8 @@ from refid_tpu.models.layers import (
     ConvLayer, ConvParams, ImageEncoderConvBlock, ResidualBlock, apply_conv,
 )
 from refid_tpu.models.recurrent import (
-    RecurrentEncoderStage, TransposeRecurrentConvLayer,
+    PixelShuffleRecurrentConvLayer, RecurrentEncoderStage,
+    TransposeRecurrentConvLayer, UpsampleConvLayer,
 )
 
 Dtype = Any
@@ -59,6 +60,12 @@ class RefidConfig:
     aliased_backward_states: bool = True   # reference checkpoint parity
     remat: bool = False                    # rematerialize scan steps
     dtype: Optional[Any] = None            # compute dtype (None -> f32)
+    # --- ablation axes (paper lineage, expressed as flags instead of the
+    # reference's per-variant arch files XXNet_*_arch.py) ---
+    bidirectional: bool = True             # False: unidirectional encoder
+    recurrent_cell: str = "simpleconv"     # 'convgru' | 'convlstm'
+    decoder_type: str = "transpose_recurrent"  # 'pixelshuffle_recurrent' |
+                                               # 'upsample_conv' (no state)
 
     @property
     def encoder_in_sizes(self) -> Tuple[int, ...]:
@@ -96,6 +103,7 @@ class _BackwardStep(nn.Module):
                 num_block=cfg.num_block,
                 use_atten_fuse=i in cfg.atten_fuse_at,
                 fuse_two_direction=False,
+                cell=cfg.recurrent_cell,
                 dtype=cfg.dtype,
                 name=f"enc_{i}",
             )(e, y, states[i], None)
@@ -113,7 +121,7 @@ class _ForwardStep(nn.Module):
     @nn.compact
     def __call__(self, carry, xs):
         cfg = self.cfg
-        if cfg.aliased_backward_states:
+        if cfg.aliased_backward_states or not cfg.bidirectional:
             # parity: the (constant) final backward state rides the carry
             fwd_states, dec_states, x_blocks, head, head_kb, bwd_states = carry
             ev_t = xs
@@ -133,10 +141,12 @@ class _ForwardStep(nn.Module):
                 out_ch=cfg.encoder_out_sizes[i],
                 num_block=cfg.num_block,
                 use_atten_fuse=i in cfg.atten_fuse_at,
-                fuse_two_direction=True,
+                fuse_two_direction=cfg.bidirectional,
+                cell=cfg.recurrent_cell,
                 dtype=cfg.dtype,
                 name=f"enc_{i}",
-            )(e, y, fwd_states[i], bwd_states[i])
+            )(e, y, fwd_states[i],
+              bwd_states[i] if cfg.bidirectional else None)
             e_blocks.append(e)
             new_fwd.append(s)
 
@@ -147,13 +157,21 @@ class _ForwardStep(nn.Module):
                               name=f"res_{i}")(inp)
 
         # recurrent decoder with skip-sums
+        decoder_cls = {
+            "transpose_recurrent": TransposeRecurrentConvLayer,
+            "pixelshuffle_recurrent": PixelShuffleRecurrentConvLayer,
+            "upsample_conv": UpsampleConvLayer,
+        }[cfg.decoder_type]
         new_dec = []
         for i in range(cfg.num_encoders):
             skip = e_blocks[cfg.num_encoders - i - 1]
             out_ch = cfg.encoder_out_sizes[cfg.num_encoders - i - 1] // 2
-            e, s = TransposeRecurrentConvLayer(
-                out_ch=out_ch, num_block=1, dtype=cfg.dtype,
-                name=f"dec_{i}")(e + skip, dec_states[i])
+            if cfg.decoder_type == "upsample_conv":
+                e, s = decoder_cls(out_ch=out_ch, dtype=cfg.dtype,
+                                   name=f"dec_{i}")(e + skip, dec_states[i])
+            else:
+                e, s = decoder_cls(out_ch=out_ch, num_block=1, dtype=cfg.dtype,
+                                   name=f"dec_{i}")(e + skip, dec_states[i])
             new_dec.append(s)
 
         out = ConvLayer(cfg.out_chn, 3, 1, 1, relu_slope=None,
@@ -207,9 +225,12 @@ class FinalBidirectionAttenfusion(nn.Module):
 
         dt = cfg.dtype or jnp.float32
         # recurrent states live at PRE-downsample resolution per scale
-        enc_state_zeros = tuple(
-            jnp.zeros((b, h // 2 ** i, w // 2 ** i, cfg.encoder_out_sizes[i]), dt)
-            for i in range(cfg.num_encoders))
+        def _zero_state(i):
+            z = jnp.zeros((b, h // 2 ** i, w // 2 ** i,
+                           cfg.encoder_out_sizes[i]), dt)
+            return (z, z) if cfg.recurrent_cell == "convlstm" else z
+        enc_state_zeros = tuple(_zero_state(i)
+                                for i in range(cfg.num_encoders))
 
         back_cls = _BackwardStep
         fwd_cls = _ForwardStep
@@ -217,11 +238,15 @@ class FinalBidirectionAttenfusion(nn.Module):
             back_cls = nn.remat(back_cls)
             fwd_cls = nn.remat(fwd_cls)
 
-        BackScan = nn.scan(
-            back_cls, variable_broadcast="params",
-            split_rngs={"params": False}, in_axes=1, out_axes=1, reverse=True)
-        (bwd_final, _, _), bwd_stack = BackScan(cfg, name="bwd")(
-            (enc_state_zeros, x_blocks, head_kb), event)
+        if cfg.bidirectional:
+            BackScan = nn.scan(
+                back_cls, variable_broadcast="params",
+                split_rngs={"params": False}, in_axes=1, out_axes=1,
+                reverse=True)
+            (bwd_final, _, _), bwd_stack = BackScan(cfg, name="bwd")(
+                (enc_state_zeros, x_blocks, head_kb), event)
+        else:
+            bwd_final, bwd_stack = enc_state_zeros, None
 
         # decoder states at POST-upsample resolution per decoder stage
         dec_state_zeros = tuple(
@@ -235,7 +260,7 @@ class FinalBidirectionAttenfusion(nn.Module):
         FwdScan = nn.scan(
             fwd_cls, variable_broadcast="params",
             split_rngs={"params": False}, in_axes=1, out_axes=1)
-        if cfg.aliased_backward_states:
+        if cfg.aliased_backward_states or not cfg.bidirectional:
             carry0 = (enc_state_zeros, dec_state_zeros, x_blocks, head,
                       head_kb, bwd_final)
             xs = event

@@ -117,3 +117,23 @@ def test_fixed_bidirectional_mode_differs_and_runs():
     out_f = np.asarray(jmodel_fixed.apply(params, x, ev))
     assert out_a.shape == out_f.shape
     assert np.abs(out_a - out_f).max() > 1e-6
+
+
+@pytest.mark.parametrize("arch_name", [
+    "UNetRecurrent", "UNetDecoderRecurrent", "BidirUNetRecurrent",
+    "UNetDecoderRecurrentBidirection", "UNetPSDecoderRecurrent",
+    "FinalBidirection"])
+def test_ablation_archs_run(arch_name):
+    import jax
+    import jax.numpy as jnp
+    from refid_tpu.core.registry import ARCHS
+    import refid_tpu.models.archs  # noqa: F401
+
+    net = ARCHS.get(arch_name)({"img_chn": 6, "ev_chn": 2,
+                                "num_encoders": 2, "base_num_channels": 4,
+                                "num_residual_blocks": 1})
+    p = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 6)),
+                 jnp.zeros((1, 2, 16, 16, 2)))
+    out = net.apply(p, jnp.zeros((1, 16, 16, 6)),
+                    jnp.zeros((1, 2, 16, 16, 2)))
+    assert out.shape == (1, 2, 16, 16, 3)

@@ -114,3 +114,18 @@ def test_filter_event():
     x1, y1, p1, t1 = filter_event(x, y, p, t, s_e_index=[2, 4])
     assert len(x1) == 9
     assert x1[0] == 6.0 and x1[-1] == 14.0
+
+
+def test_native_voxelizer_matches_numpy():
+    from refid_tpu.ops.native import voxelize_native_or_none
+    ev = _random_events(3000, 40, 30, seed=11)
+    out = voxelize_native_or_none(ev, 7, 40, 30)
+    if out is None:
+        pytest.skip("no C++ toolchain available")
+    import os
+    os.environ["REFID_TPU_NO_NATIVE"] = "1"
+    try:
+        ref = events_to_voxel_grid(ev, 7, 40, 30)
+    finally:
+        del os.environ["REFID_TPU_NO_NATIVE"]
+    np.testing.assert_allclose(out, ref, atol=1e-4)
