@@ -1,0 +1,64 @@
+"""Tests for flow_warp / resize / pixel shuffle / EICA / NIQE."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from refid_tpu.models.arch_util import (
+    flow_warp, resize_flow, pixel_unshuffle, pixel_shuffle,
+    EventImageChannelAttentionTransformerBlock)
+
+
+def test_flow_warp_zero_flow_is_identity():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 8, 10, 3).astype(np.float32))
+    out = flow_warp(x, jnp.zeros((2, 8, 10, 2)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_flow_warp_integer_shift():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 8, 8, 1).astype(np.float32))
+    flow = jnp.full((1, 8, 8, 2), 0.0).at[..., 0].set(1.0)  # shift x by +1
+    out = np.asarray(flow_warp(x, flow))
+    np.testing.assert_allclose(out[0, :, :-1, 0], np.asarray(x)[0, :, 1:, 0],
+                               atol=1e-6)
+    np.testing.assert_allclose(out[0, :, -1, 0], 0.0, atol=1e-6)  # zero pad
+
+
+def test_pixel_shuffle_roundtrip():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 8, 8, 4).astype(np.float32))
+    down = pixel_unshuffle(x, 2)
+    assert down.shape == (1, 4, 4, 16)
+    up = pixel_shuffle(down, 2)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(x), atol=1e-7)
+
+
+def test_resize_flow_scales_magnitude():
+    flow = jnp.ones((1, 4, 4, 2))
+    out = resize_flow(flow, "shape", (8, 8))
+    assert out.shape == (1, 8, 8, 2)
+    np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-5)
+
+
+def test_eica_block_runs():
+    blk = EventImageChannelAttentionTransformerBlock(dim=8, num_heads=2)
+    img = jnp.zeros((1, 8, 8, 8))
+    ev = jnp.ones((1, 8, 8, 8))
+    p = blk.init(jax.random.PRNGKey(0), img, ev)
+    out = blk.apply(p, img, ev)
+    assert out.shape == img.shape
+
+
+def test_niqe_runs_if_params_available():
+    from refid_tpu.eval.niqe import calculate_niqe
+    rng = np.random.RandomState(0)
+    img = (rng.rand(128, 128, 3) * 255).astype(np.float32)
+    try:
+        v = calculate_niqe(img, crop_border=0)
+    except FileNotFoundError:
+        pytest.skip("niqe pristine params not available")
+    assert np.isfinite(v) and v > 0
