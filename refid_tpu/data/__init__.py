@@ -7,3 +7,4 @@ from refid_tpu.data.datasets import single_image     # noqa: F401
 from refid_tpu.data.datasets import deblur_recurrent  # noqa: F401
 
 __all__ = ["build_dataset", "build_loader"]
+from refid_tpu.data.datasets import bsergb             # noqa: F401

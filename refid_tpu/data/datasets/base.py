@@ -254,8 +254,13 @@ class RecurrentEventDataset:
             voxel = np.stack(voxels, axis=0)                # (t,h,w,2)
 
         lq0 = image_paths[0]
-        seq = lq0.split(f"{self.split}/")[1].split("/")[0] \
-            if f"{self.split}/" in lq0 else os.path.basename(os.path.dirname(lq0))
+        if f"{self.split}/" in lq0:
+            seq = lq0.split(f"{self.split}/")[1].split("/")[0]
+        else:
+            d = os.path.dirname(lq0)
+            if os.path.basename(d) in ("blur", "gt", "images"):
+                d = os.path.dirname(d)
+            seq = os.path.basename(d)
         origin_index = os.path.basename(lq0).split(".")[0]
         return {"lq": lq.astype(np.float32), "gt": gt.astype(np.float32),
                 "voxel": voxel.astype(np.float32), "seq": seq,

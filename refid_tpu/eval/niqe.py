@@ -103,8 +103,13 @@ def _niqe_score(img: np.ndarray, mu_pris, cov_pris, window,
                              interpolation=cv2.INTER_LINEAR) * 255.0
 
     feats = np.concatenate(per_scale, axis=1)
+    valid = feats[~np.isnan(feats).any(axis=1)]
+    if valid.shape[0] < 2:
+        # degenerate input (e.g. constant blocks -> undefined AGGD): the
+        # reference crashes here; return nan instead
+        return float("nan")
     mu_dist = np.nanmean(feats, axis=0)
-    cov_dist = np.cov(feats[~np.isnan(feats).any(axis=1)], rowvar=False)
+    cov_dist = np.cov(valid, rowvar=False)
     invcov = np.linalg.pinv((cov_pris + cov_dist) / 2)
     d = mu_pris - mu_dist
     return float(np.sqrt(d @ invcov @ d.T))

@@ -87,8 +87,9 @@ class _BackwardStep(nn.Module):
     cfg: RefidConfig
 
     @nn.compact
-    def __call__(self, carry, ev_t):
-        states, x_blocks, head_kb = carry
+    def __call__(self, carry, const, ev_t):
+        states = carry
+        x_blocks, head_kb = const
         cfg = self.cfg
         new_states = []
         # shared event head applied per frame (params owned by the parent);
@@ -110,7 +111,7 @@ class _BackwardStep(nn.Module):
             new_states.append(s)
         new_states = tuple(new_states)
         ys = () if cfg.aliased_backward_states else new_states
-        return (new_states, x_blocks, head_kb), ys
+        return new_states, ys
 
 
 class _ForwardStep(nn.Module):
@@ -119,14 +120,15 @@ class _ForwardStep(nn.Module):
     cfg: RefidConfig
 
     @nn.compact
-    def __call__(self, carry, xs):
+    def __call__(self, carry, const, xs):
         cfg = self.cfg
+        fwd_states, dec_states = carry
         if cfg.aliased_backward_states or not cfg.bidirectional:
-            # parity: the (constant) final backward state rides the carry
-            fwd_states, dec_states, x_blocks, head, head_kb, bwd_states = carry
+            # parity: the (constant) final backward state is loop-invariant
+            x_blocks, head, head_kb, bwd_states = const
             ev_t = xs
         else:
-            fwd_states, dec_states, x_blocks, head, head_kb = carry
+            x_blocks, head, head_kb = const
             ev_t, bwd_states = xs
         e_t = apply_conv(ev_t, head_kb[0], head_kb[1], 1, 2, relu_slope=0.2,
                          dtype=cfg.dtype)
@@ -176,13 +178,7 @@ class _ForwardStep(nn.Module):
 
         out = ConvLayer(cfg.out_chn, 3, 1, 1, relu_slope=None,
                         dtype=cfg.dtype, name="pred")(e + head)
-        if cfg.aliased_backward_states:
-            new_carry = (tuple(new_fwd), tuple(new_dec), x_blocks, head,
-                         head_kb, bwd_states)
-        else:
-            new_carry = (tuple(new_fwd), tuple(new_dec), x_blocks, head,
-                         head_kb)
-        return new_carry, out
+        return (tuple(new_fwd), tuple(new_dec)), out
 
 
 class FinalBidirectionAttenfusion(nn.Module):
@@ -241,10 +237,10 @@ class FinalBidirectionAttenfusion(nn.Module):
         if cfg.bidirectional:
             BackScan = nn.scan(
                 back_cls, variable_broadcast="params",
-                split_rngs={"params": False}, in_axes=1, out_axes=1,
-                reverse=True)
-            (bwd_final, _, _), bwd_stack = BackScan(cfg, name="bwd")(
-                (enc_state_zeros, x_blocks, head_kb), event)
+                split_rngs={"params": False},
+                in_axes=(nn.broadcast, 1), out_axes=1, reverse=True)
+            bwd_final, bwd_stack = BackScan(cfg, name="bwd")(
+                enc_state_zeros, (x_blocks, head_kb), event)
         else:
             bwd_final, bwd_stack = enc_state_zeros, None
 
@@ -259,16 +255,16 @@ class FinalBidirectionAttenfusion(nn.Module):
 
         FwdScan = nn.scan(
             fwd_cls, variable_broadcast="params",
-            split_rngs={"params": False}, in_axes=1, out_axes=1)
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, 1), out_axes=1)
+        carry0 = (enc_state_zeros, dec_state_zeros)
         if cfg.aliased_backward_states or not cfg.bidirectional:
-            carry0 = (enc_state_zeros, dec_state_zeros, x_blocks, head,
-                      head_kb, bwd_final)
+            const = (x_blocks, head, head_kb, bwd_final)
             xs = event
         else:
-            carry0 = (enc_state_zeros, dec_state_zeros, x_blocks, head,
-                      head_kb)
+            const = (x_blocks, head, head_kb)
             xs = (event, bwd_stack)
-        _, out = FwdScan(cfg, name="fwd")(carry0, xs)
+        _, out = FwdScan(cfg, name="fwd")(carry0, const, xs)
         return out
 
 

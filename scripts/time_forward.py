@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--base", type=int, default=32)
     ap.add_argument("--label", default="")
+    ap.add_argument("--no-atten", action="store_true")
+    ap.add_argument("--no-bidir", action="store_true")
+    ap.add_argument("--decoder", default="transpose_recurrent")
+    ap.add_argument("--num-block", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -32,7 +36,11 @@ def main():
     from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
 
     cfg = RefidConfig(base_num_channels=args.base,
-                      dtype=jnp.bfloat16 if args.bf16 else None)
+                      dtype=jnp.bfloat16 if args.bf16 else None,
+                      atten_fuse_at=() if args.no_atten else (1,),
+                      bidirectional=not args.no_bidir,
+                      decoder_type=args.decoder,
+                      num_block=args.num_block)
     model = FinalBidirectionAttenfusion(cfg)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(1, args.h, args.w, cfg.img_chn).astype(np.float32))

@@ -1,6 +1,7 @@
 """Dataset pipeline tests: shapes, window math, loader, and elementwise
 parity against the reference GoProEventRecurrentDataset."""
 
+import os
 import numpy as np
 import pytest
 
@@ -170,12 +171,61 @@ def test_parity_with_reference_dataset_renamed(tmp_path):
 
     r = ref_ds[0]
     o = ours[0]
-    # reference: lq (26,h,w) CHW RGB-packed; ours: (h,w,26)
+    # reference: lq (26,h,w) CHW RGB-packed; ours: (h,w,26); atol covers the
+    # native voxelizer's f32 accumulation-order noise (~4e-6)
     np.testing.assert_allclose(o["lq"].transpose(2, 0, 1),
-                               r["lq"].numpy(), atol=1e-6)
+                               r["lq"].numpy(), atol=1e-4)
     np.testing.assert_allclose(o["gt"].transpose(0, 3, 1, 2),
                                r["gt"].numpy(), atol=1e-6)
     np.testing.assert_allclose(o["voxel"].transpose(0, 3, 1, 2),
                                r["voxel"].numpy(), atol=1e-4)
     assert o["seq"] == r["seq"]
     assert o["origin_index"] == r["origin_index"]
+
+
+def test_bsergb_dataset(tmp_path):
+    """BS-ERGB layout: 3_TRAINING/<video>/{images,events}."""
+    import cv2
+    rng = np.random.RandomState(0)
+    root = str(tmp_path / "bsergb")
+    vdir = os.path.join(root, "3_TRAINING", "seq0")
+    os.makedirs(os.path.join(vdir, "images"))
+    os.makedirs(os.path.join(vdir, "events"))
+    n_imgs, h, w = 10, 24, 32
+    for k in range(n_imgs):
+        cv2.imwrite(os.path.join(vdir, "images", "%06d.png" % k),
+                    (rng.rand(h, w, 3) * 255).astype(np.uint8))
+    for k in range(n_imgs - 1):
+        ne = 200
+        np.savez(os.path.join(vdir, "events", "%06d.npz" % k),
+                 timestamp=np.sort(rng.rand(ne)).astype(np.float32),
+                 x=rng.randint(0, w, ne).astype(np.int16),
+                 y=rng.randint(0, h, ne).astype(np.int16),
+                 polarity=rng.choice([0, 1], ne).astype(np.int8))
+    ds = build_dataset({"type": "BsergbSharpEventRecurrentDataset",
+                        "dataroot": root, "phase": "train", "scale": 1,
+                        "num_end_interpolation": 1,
+                        "num_inter_interpolation": 2,
+                        "one_voxel_flag": True, "gt_size": None,
+                        "use_hflip": False, "use_rot": False,
+                        "io_backend": {"type": "disk"}})
+    assert len(ds) > 0
+    s = ds[0]
+    assert s["lq"].shape == (2, h, w, 3)
+    assert s["gt"].shape == (2, h, w, 3)   # n middles
+    assert s["voxel"].shape == (2, h, w, 2)
+    assert s["seq"] == "seq0"
+
+
+def test_file_client_backends():
+    from refid_tpu.data.file_client import FileClient
+    import tempfile, os as _os
+    fc = FileClient("disk")
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        f.write(b"hello")
+    assert fc.get(f.name) == b"hello"
+    _os.unlink(f.name)
+    with pytest.raises(ValueError):
+        FileClient("nope")
+    with pytest.raises(ImportError):
+        FileClient("lmdb", db_paths="/tmp/x")
