@@ -62,6 +62,8 @@ class HINConvBlock(nn.Module):
             half = self.out_size // 2
             scale = self.param("hin_scale", nn.initializers.ones, (half,))
             bias = self.param("hin_bias", nn.initializers.zeros, (half,))
+            if self.dtype is not None:
+                scale, bias = scale.astype(self.dtype), bias.astype(self.dtype)
             out = half_instance_norm(out, scale, bias)
         out = leaky_relu(out, self.relu_slope)
         out = leaky_relu(conv2d(out, self.out_size, 3, 1, 1, dtype=self.dtype,
@@ -93,6 +95,8 @@ class EVConvBlock(nn.Module):
             half = self.out_size // 2
             scale = self.param("hin_scale", nn.initializers.ones, (half,))
             bias = self.param("hin_bias", nn.initializers.zeros, (half,))
+            if self.dtype is not None:
+                scale, bias = scale.astype(self.dtype), bias.astype(self.dtype)
             out = half_instance_norm(out, scale, bias)
         out = leaky_relu(out, self.relu_slope)
         out = leaky_relu(conv2d(out, self.out_size, 3, 1, 1, dtype=self.dtype,

@@ -63,6 +63,8 @@ class CrossmodalAtten(nn.Module):
         x = conv2d(x, self.c, 1, dtype=self.dtype, name="conv3")
 
         beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, self.c))
+        if self.dtype is not None:
+            beta = beta.astype(self.dtype)
         if self.all_add:
             y = event_feat + image_feat + x * beta
         else:
@@ -76,5 +78,7 @@ class CrossmodalAtten(nn.Module):
 
         gamma = self.param("gamma", nn.initializers.zeros,
                            (1, 1, 1, self.c_out))
+        if self.dtype is not None:
+            gamma = gamma.astype(self.dtype)
         y = conv2d(y, self.c_out, 1, dtype=self.dtype, name="conv_y_side")
         return y + ffn * gamma

@@ -180,6 +180,11 @@ class LayerNorm2d(nn.Module):
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            # keep the compute dtype: f32 params would silently promote
+            # bf16 activations back to f32
+            scale, bias = scale.astype(self.dtype), bias.astype(self.dtype)
+            x = x.astype(self.dtype)
         mu = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
         y = (x - mu) * jax.lax.rsqrt(var + self.eps)

@@ -13,7 +13,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 __all__ = ["charbonnier_loss", "l1_loss", "mse_loss", "psnr_loss",
-           "build_loss"]
+           "srn_loss", "weighted_tv_loss", "build_loss"]
 
 
 def _reduce(x, weight, reduction):
@@ -58,6 +58,9 @@ _LOSSES = {
     "L1Loss": l1_loss,
     "MSELoss": mse_loss,
     "PSNRLoss": psnr_loss,
+    "SRNLoss": lambda preds, target, **kw: srn_loss(preds, target, **kw),
+    "WeightedTVLoss": lambda pred, weight=None, **kw: weighted_tv_loss(
+        pred, weight, **kw),
 }
 
 
@@ -70,3 +73,26 @@ def build_loss(opt: dict):
         raise ValueError(f"unknown loss {loss_type!r}")
     fn = _LOSSES[loss_type]
     return partial(fn, **opt)
+
+
+def srn_loss(preds, target, loss_weight=1.0):
+    """3-scale MSE pyramid loss (losses.py:123-139): ``preds`` is a list of
+    predictions at 1/4, 1/2, and full resolution (NHWC)."""
+    import jax
+    b, h, w, c = target.shape
+    gt2 = jax.image.resize(target, (b, h // 2, w // 2, c), "bilinear")
+    gt3 = jax.image.resize(target, (b, h // 4, w // 4, c), "bilinear")
+    return loss_weight * (mse_loss(preds[0], gt3) + mse_loss(preds[1], gt2)
+                          + mse_loss(preds[2], target))
+
+
+def weighted_tv_loss(pred, weight=None, loss_weight=1.0):
+    """Total-variation loss with optional elementwise weights
+    (losses.py:176-197); pred is NHWC."""
+    yw = weight[:, :-1, :, :] if weight is not None else None
+    xw = weight[:, :, :-1, :] if weight is not None else None
+    y_diff = l1_loss(pred[:, :-1, :, :], pred[:, 1:, :, :], weight=yw,
+                     loss_weight=loss_weight)
+    x_diff = l1_loss(pred[:, :, :-1, :], pred[:, :, 1:, :], weight=xw,
+                     loss_weight=loss_weight)
+    return x_diff + y_diff

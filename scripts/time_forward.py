@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--no-bidir", action="store_true")
     ap.add_argument("--decoder", default="transpose_recurrent")
     ap.add_argument("--num-block", type=int, default=1)
+    ap.add_argument("--b", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -43,8 +44,9 @@ def main():
                       num_block=args.num_block)
     model = FinalBidirectionAttenfusion(cfg)
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(1, args.h, args.w, cfg.img_chn).astype(np.float32))
-    ev = jnp.asarray(rng.rand(1, args.t, args.h, args.w,
+    x = jnp.asarray(rng.rand(args.b, args.h, args.w,
+                             cfg.img_chn).astype(np.float32))
+    ev = jnp.asarray(rng.rand(args.b, args.t, args.h, args.w,
                               cfg.ev_chn).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 64, cfg.img_chn)),
@@ -69,8 +71,8 @@ def main():
     d2 = time.perf_counter() - t0
     per = (d2 - d1) / args.iters
     tag = args.label or ("bf16" if args.bf16 else "f32")
-    print(f"{tag} {args.h}x{args.w} t={args.t} base={args.base}: "
-          f"{per*1000:.0f} ms/forward -> {args.t/per:.1f} frames/s")
+    print(f"{tag} b={args.b} {args.h}x{args.w} t={args.t} base={args.base}: "
+          f"{per*1000:.0f} ms/forward -> {args.b*args.t/per:.1f} frames/s")
 
 
 if __name__ == "__main__":

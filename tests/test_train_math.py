@@ -258,3 +258,20 @@ def test_ema_tracking():
     np.testing.assert_allclose(np.asarray(e1),
                                0.9 * np.asarray(p0) + 0.1 * np.asarray(p1),
                                atol=1e-7)
+
+
+def test_srn_and_tv_losses():
+    from refid_tpu.train.losses import srn_loss, weighted_tv_loss
+    rng = np.random.RandomState(7)
+    gt = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
+    preds = [jnp.asarray(rng.rand(1, 4, 4, 3).astype(np.float32)),
+             jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32)),
+             jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))]
+    assert float(srn_loss(preds, gt)) > 0
+    p = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32))
+    tv = float(weighted_tv_loss(p))
+    want = (np.abs(np.diff(np.asarray(p), axis=1)).mean()
+            + np.abs(np.diff(np.asarray(p), axis=2)).mean())
+    assert abs(tv - want) < 1e-6
+    flat = jnp.ones((1, 8, 8, 3))
+    assert float(weighted_tv_loss(flat)) == 0.0
