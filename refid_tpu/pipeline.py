@@ -1,0 +1,82 @@
+"""End-to-end serving pipeline: raw events + blurred frames -> sharp frames.
+
+ONE jitted device program: voxelization (XLA scatter on device), deblur
+-voxel channel packing, and the recurrent network — no host round-trip
+between stages (the reference pipeline voxelizes on the CPU dataloader and
+ships 190MB voxel grids per HighREV sample; here only the compact event
+list and two frames cross the bus).
+
+Event capacity is shape-bucketed to powers of two so repeated calls reuse
+compiled executables.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from refid_tpu.events.voxel import _voxelize_padded
+from refid_tpu.models.refid import FinalBidirectionAttenfusion, RefidConfig
+
+__all__ = ["BlurVFIPipeline"]
+
+
+class BlurVFIPipeline:
+    """Blurry-VFI serving: (blur0, blur1, events) -> 2m+n sharp frames.
+
+    Replicates the GoProEventRecurrentDataset packing (26-ch input from
+    2 RGB frames + intra-exposure voxel bins, image_npy_dataset.py:211-232)
+    so released checkpoints serve directly.
+    """
+
+    def __init__(self, params, cfg: RefidConfig, m: int = 11, n: int = 1,
+                 norm_voxel: bool = False):
+        self.params = params
+        self.cfg = cfg
+        self.m, self.n = m, n
+        self.num_bins = 2 * m + n + 1
+        self.norm_voxel = norm_voxel  # parity: recurrent recipe skips norm
+        self.model = FinalBidirectionAttenfusion(cfg)
+
+        @partial(jax.jit, static_argnames=("height", "width"))
+        def _run(params, blur0, blur1, events, n_events, height, width):
+            m, n = self.m, self.n
+            vox = _voxelize_padded(events, n_events, self.num_bins,
+                                   width, height)          # (bins, h, w)
+            vox = jnp.transpose(vox, (1, 2, 0))             # (h, w, bins)
+            if self.norm_voxel:
+                nz = vox != 0
+                cnt = jnp.maximum(jnp.sum(nz), 1)
+                mean = jnp.sum(vox) / cnt
+                std = jnp.sqrt(jnp.sum(vox ** 2) / cnt - mean ** 2)
+                vox = jnp.where(nz, (vox - mean) / std, 0.0)
+            lq = jnp.concatenate(
+                [blur0, vox[..., 1:m], blur1, vox[..., m + 2 + n:]],
+                axis=-1)[None]                              # (1,h,w,26)
+            t = self.num_bins - 1
+            pairs = jnp.stack([vox[..., i:i + 2] for i in range(t)],
+                              axis=0)[None]                 # (1,t,h,w,2)
+            return self.model.apply(params, lq, pairs)[0]   # (t,h,w,3)
+
+        self._run = _run
+
+    def __call__(self, blur0: np.ndarray, blur1: np.ndarray,
+                 events: np.ndarray,
+                 capacity: Optional[int] = None) -> jnp.ndarray:
+        """blur frames (h,w,3) RGB [0,1]; events (N,4) [t,x,y,p] sorted by t.
+        Returns (2m+n, h, w, 3) device array of sharp frames."""
+        h, w = blur0.shape[:2]
+        n_ev = events.shape[0]
+        if capacity is None:
+            capacity = max(1 << 14, 1 << int(np.ceil(np.log2(max(n_ev, 1)))))
+        padded = np.zeros((capacity, 4), np.float32)
+        padded[:n_ev] = events
+        return self._run(self.params, jnp.asarray(blur0, jnp.float32),
+                         jnp.asarray(blur1, jnp.float32),
+                         jnp.asarray(padded), jnp.int32(n_ev),
+                         height=h, width=w)

@@ -161,3 +161,42 @@ def test_tile_plan_covers_and_is_flush():
         cov[i:i + 16, j:j + 16] = True
     assert cov.all()
     assert any(i == 24 for i, _ in plan) and any(j == 40 for _, j in plan)
+
+
+def test_blur_vfi_serving_pipeline():
+    """Single-jit device pipeline == host pipeline (voxelize + pack + net)."""
+    import jax
+    import jax.numpy as jnp
+    from refid_tpu.pipeline import BlurVFIPipeline
+    from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+    from refid_tpu.events import events_to_voxel_grid
+
+    m, n = 2, 1
+    cfg = RefidConfig(img_chn=3 + (m - 1) + 3 + (m - 1), ev_chn=2,
+                      num_encoders=2, base_num_channels=4,
+                      num_residual_blocks=1)
+    model = FinalBidirectionAttenfusion(cfg)
+    rng = np.random.RandomState(0)
+    h, w = 16, 24
+    b0 = rng.rand(h, w, 3).astype(np.float32)
+    b1 = rng.rand(h, w, 3).astype(np.float32)
+    ne = 500
+    ev = np.stack([np.sort(rng.rand(ne)), rng.randint(0, w, ne),
+                   rng.randint(0, h, ne), rng.choice([-1., 1.], ne)],
+                  1).astype(np.float32)
+
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, h, w, cfg.img_chn)),
+                        jnp.zeros((1, 2 * m + n, h, w, 2)))
+    pipe = BlurVFIPipeline(params, cfg, m=m, n=n)
+    out = np.asarray(pipe(b0, b1, ev))
+    assert out.shape == (2 * m + n, h, w, 3)
+
+    # host-side oracle: numpy voxelize + pack, then the bare model
+    vox = events_to_voxel_grid(ev, 2 * m + n + 1, w, h, "HWC")
+    lq = np.concatenate([b0, vox[..., 1:m], b1, vox[..., m + 2 + n:]],
+                        axis=-1)[None]
+    pairs = np.stack([vox[..., i:i + 2] for i in range(2 * m + n)], 0)[None]
+    want = np.asarray(model.apply(params, jnp.asarray(lq),
+                                  jnp.asarray(pairs)))[0]
+    np.testing.assert_allclose(out, want, atol=2e-4)

@@ -275,3 +275,45 @@ def test_srn_and_tv_losses():
     assert abs(tv - want) < 1e-6
     flat = jnp.ones((1, 8, 8, 3))
     assert float(weighted_tv_loss(flat)) == 0.0
+
+
+def test_adamw_clip_step_matches_torch():
+    """One optimizer step (clip 0.01 -> AdamW 2e-4/0.9/0.99/wd 1e-4) must
+    match torch's clip_grad_norm_ + AdamW.step() on identical params/grads
+    (the production recipe, twoImage_event_recurrent_model.py:273-310)."""
+    import torch
+    from refid_tpu.train.trainer import build_optimizer
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(6, 5).astype(np.float32)
+    g = rng.randn(6, 5).astype(np.float32) * 3.0
+
+    # torch
+    tp = torch.nn.Parameter(torch.from_numpy(w.copy()))
+    opt = torch.optim.AdamW([tp], lr=2e-4, betas=(0.9, 0.99),
+                            weight_decay=1e-4, eps=1e-8)
+    tp.grad = torch.from_numpy(g.copy())
+    torch.nn.utils.clip_grad_norm_([tp], 0.01)
+    opt.step()
+    want_1 = tp.detach().numpy().copy()
+    tp.grad = torch.from_numpy((g * 0.5).copy())
+    torch.nn.utils.clip_grad_norm_([tp], 0.01)
+    opt.step()
+    want_2 = tp.detach().numpy().copy()
+
+    # ours
+    train_opt = {"optim_g": {"type": "AdamW", "lr": 2e-4,
+                             "betas": [0.9, 0.99], "weight_decay": 1e-4},
+                 "scheduler": {"type": "TrueCosineAnnealingLR",
+                               "T_max": 10 ** 9, "eta_min": 2e-4},
+                 "grad_clip_norm": 0.01}
+    tx, _ = build_optimizer(train_opt, 10 ** 9)
+    params = {"w": jnp.asarray(w)}
+    state = tx.init(params)
+    import optax
+    up, state = tx.update({"w": jnp.asarray(g)}, state, params)
+    params = optax.apply_updates(params, up)
+    np.testing.assert_allclose(np.asarray(params["w"]), want_1, atol=2e-7)
+    up, state = tx.update({"w": jnp.asarray(g * 0.5)}, state, params)
+    params = optax.apply_updates(params, up)
+    np.testing.assert_allclose(np.asarray(params["w"]), want_2, atol=2e-7)
