@@ -35,9 +35,9 @@ class SimpleRecurrentConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, prev_state):
-        feat = jnp.concatenate([x, prev_state], axis=-1)
         feat = ConvResidualBlocks(self.features, self.num_block,
-                                  dtype=self.dtype, name="trunk")(feat)
+                                  dtype=self.dtype, name="trunk")(
+                                      [x, prev_state])
         return feat, feat
 
 
@@ -52,17 +52,17 @@ class ConvGRU(nn.Module):
         p = self.kernel_size // 2
         orth = nn.initializers.orthogonal()
         zeros = nn.initializers.zeros
-        stacked = jnp.concatenate([x, prev_state], axis=-1)
+        stacked = [x, prev_state]
         update = jax.nn.sigmoid(conv2d(
             stacked, self.hidden, self.kernel_size, 1, p, kernel_init=orth,
             bias_init=zeros, dtype=self.dtype, name="update_gate"))
         reset = jax.nn.sigmoid(conv2d(
             stacked, self.hidden, self.kernel_size, 1, p, kernel_init=orth,
             bias_init=zeros, dtype=self.dtype, name="reset_gate"))
-        out_in = jnp.concatenate([x, prev_state * reset], axis=-1)
         cand = jnp.tanh(conv2d(
-            out_in, self.hidden, self.kernel_size, 1, p, kernel_init=orth,
-            bias_init=zeros, dtype=self.dtype, name="out_gate"))
+            [x, prev_state * reset], self.hidden, self.kernel_size, 1, p,
+            kernel_init=orth, bias_init=zeros, dtype=self.dtype,
+            name="out_gate"))
         new_state = prev_state * (1 - update) + cand * update
         return new_state, new_state
 
@@ -77,9 +77,8 @@ class ConvLSTM(nn.Module):
     def __call__(self, x, prev_state: Tuple[jnp.ndarray, jnp.ndarray]):
         prev_hidden, prev_cell = prev_state
         p = self.kernel_size // 2
-        stacked = jnp.concatenate([x, prev_hidden], axis=-1)
-        gates = conv2d(stacked, 4 * self.hidden, self.kernel_size, 1, p,
-                       dtype=self.dtype, name="gates")
+        gates = conv2d([x, prev_hidden], 4 * self.hidden, self.kernel_size,
+                       1, p, dtype=self.dtype, name="gates")
         in_g, rem_g, out_g, cell_g = jnp.split(gates, 4, axis=-1)
         cell = (jax.nn.sigmoid(rem_g) * prev_cell
                 + jax.nn.sigmoid(in_g) * jnp.tanh(cell_g))
@@ -138,9 +137,9 @@ class RecurrentEncoderStage(nn.Module):
             assert self.fuse_two_direction
             if isinstance(bi_direction_state, tuple):  # convlstm: use hidden
                 bi_direction_state = bi_direction_state[0]
-            x = jnp.concatenate([x, bi_direction_state], axis=-1)
             x = ConvLayer(self.out_ch, 1, 1, 0, self.relu_slope,
-                          dtype=self.dtype, name="fuse_bidir")(x)
+                          dtype=self.dtype, name="fuse_bidir")(
+                              [x, bi_direction_state])
         x = conv2d(x, self.out_ch, 4, 2, 1, use_bias=False,
                    dtype=self.dtype, name="down")
         return x, state
@@ -156,9 +155,9 @@ class TransposeRecurrentConvLayer(nn.Module):
     @nn.compact
     def __call__(self, x, prev_state):
         out = conv_transpose_up(x, self.out_ch, dtype=self.dtype, name="up")
-        out = jnp.concatenate([out, prev_state], axis=-1)
         out = ConvResidualBlocks(self.out_ch, self.num_block,
-                                 dtype=self.dtype, name="trunk")(out)
+                                 dtype=self.dtype, name="trunk")(
+                                     [out, prev_state])
         return out, out
 
 
