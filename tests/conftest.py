@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# The axon sitecustomize sets jax_platforms="axon,cpu" via CONFIG (env is
+# ignored after that), so tests would nondeterministically get 1 TPU or 8
+# CPU devices depending on whether the chip is busy.  Pin CPU explicitly.
+jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: re-runs of the (slow, 1-core) test suite
 # reuse compiled executables instead of re-tracing everything
