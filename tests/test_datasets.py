@@ -229,3 +229,22 @@ def test_file_client_backends():
         FileClient("nope")
     with pytest.raises(ImportError):
         FileClient("lmdb", db_paths="/tmp/x")
+
+
+def test_grain_loader(gopro_root):
+    pytest.importorskip("grain")
+    import jax
+    from refid_tpu.data.grain_loader import build_grain_loader
+    ldc = jax.local_device_count()
+    opt = _opt(gopro_root)
+    opt.update({"batch_size_per_gpu": 1, "use_shuffle": True,
+                "dataset_enlarge_ratio": 4 * ldc, "num_worker_per_gpu": 0})
+    ds = build_dataset(opt)  # 4 items
+    loader = build_grain_loader(ds, opt, is_train=True, seed=3)
+    batches = list(loader)
+    # 4 items * 4*ldc enlarge / (1*ldc global batch) = 16 batches
+    assert len(batches) == 16
+    b = batches[0]
+    assert b["lq"].shape[0] == ldc
+    assert b["voxel"].shape == (ldc, 2 * M + N, 32, 48, 2)
+    assert isinstance(b["seq"], list)
