@@ -72,6 +72,12 @@ def main(argv=None):
                                 build_loader(val_set, dataset_opt, False)))
             logger.info(f"val dataset: {len(val_set)} items")
     assert train_loader is not None, "no train dataset in options"
+    if len(train_loader) == 0:
+        raise ValueError(
+            f"train loader is empty: global batch "
+            f"(batch_size_per_gpu x {jax.local_device_count()} devices) "
+            f"exceeds the dataset; raise dataset_enlarge_ratio or lower "
+            f"batch_size_per_gpu")
 
     # task
     task = build_task(opt)

@@ -24,7 +24,9 @@ def _write_cfg(tmp_path, root, name="debugless_e2e", m=2, n=1):
                 "io_backend": {"type": "disk"}, "gt_size": 16,
                 "use_hflip": True, "use_rot": True, "use_shuffle": True,
                 "num_worker_per_gpu": 2, "batch_size_per_gpu": 1,
-                "dataset_enlarge_ratio": 1,
+                # global batch = per-device x 8 virtual devices; enlarge so
+                # the 4-item micro-dataset still yields full batches
+                "dataset_enlarge_ratio": 8,
                 "video_list": ["VID_A", "VID_B"],
             },
             "val": {
