@@ -145,3 +145,44 @@ class EventImageChannelAttentionTransformerBlock(nn.Module):
         y = jax.nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="fc2")(y)
         return fused + y
+
+
+class SpatialCrossAttention(nn.Module):
+    """Token-space cross attention (image queries, event keys/values) with
+    optional spatial-reduction of the kv source — arch_util.py:370-419
+    ('Attention').  Inputs are (b, n, c) token sequences."""
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    sr_ratio: int = 1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, y, H: Optional[int] = None,
+                 W: Optional[int] = None):
+        assert x.ndim == 3 and x.shape == y.shape
+        b, n, c = x.shape
+        hd = self.num_heads
+        scale = (c // hd) ** -0.5
+
+        q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="q")(x).reshape(b, n, hd, c // hd)
+        q = q.transpose(0, 2, 1, 3)
+
+        if self.sr_ratio > 1:
+            assert H is not None and W is not None
+            y2 = y.reshape(b, H, W, c)
+            y2 = conv2d(y2, c, self.sr_ratio, self.sr_ratio, 0,
+                        dtype=self.dtype, name="sr")
+            y = nn.LayerNorm(name="norm")(
+                y2.reshape(b, -1, c))
+        kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                      name="kv")(y)
+        kv = kv.reshape(b, -1, 2, hd, c // hd).transpose(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+
+        attn = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale,
+                              axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, name="proj")(out)

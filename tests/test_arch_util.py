@@ -103,3 +103,17 @@ def test_modulated_deform_conv_pack_starts_as_conv():
         x, kernel, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC")) * 0.5
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_spatial_cross_attention():
+    from refid_tpu.models.arch_util import SpatialCrossAttention
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 64, 16).astype(np.float32))
+    y = jnp.asarray(rng.rand(1, 64, 16).astype(np.float32))
+    m = SpatialCrossAttention(dim=16, num_heads=4)
+    p = m.init(jax.random.PRNGKey(0), x, y)
+    assert m.apply(p, x, y).shape == (1, 64, 16)
+    # spatial reduction path
+    m2 = SpatialCrossAttention(dim=16, num_heads=4, sr_ratio=2)
+    p2 = m2.init(jax.random.PRNGKey(0), x, y, 8, 8)
+    assert m2.apply(p2, x, y, 8, 8).shape == (1, 64, 16)
