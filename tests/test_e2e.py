@@ -202,3 +202,47 @@ def test_blur_vfi_serving_pipeline():
     want = np.asarray(model.apply(params, jnp.asarray(lq),
                                   jnp.asarray(pairs)))[0]
     np.testing.assert_allclose(out, want, atol=2e-4)
+
+
+def test_test_cli_end_to_end(env, tmp_path):
+    """cli.test over a saved orbax checkpoint reproduces training-time val."""
+    data_root, exp_root = env
+    cfg_path = _write_cfg(tmp_path, data_root, name="e2e_testcli")
+    from refid_tpu.cli.train import main as train_main
+    task = train_main(["-opt", cfg_path, "--root", exp_root])
+
+    import yaml
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["name"] = "e2e_testcli_eval"
+    cfg["model_type"] = "TestTwoImageEventRecurrentRestorationModel"
+    cfg["datasets"] = {"test_1": cfg["datasets"]["val"]}
+    cfg["path"]["pretrain_network_g"] = os.path.join(
+        exp_root, "experiments", "e2e_testcli", "models")
+    p = tmp_path / "test_cfg.yml"
+    p.write_text(yaml.safe_dump(cfg))
+
+    from refid_tpu.cli.test import main as test_main
+    results = test_main(["-opt", str(p), "--root", exp_root,
+                         "--max-items", "2"])
+    (name, metrics), = results.items()
+    assert "total_psnr" in metrics and np.isfinite(metrics["total_psnr"])
+
+
+def test_ema_training_and_eval(env, tmp_path):
+    """train.ema_decay populates EMA params; predict(use_ema=True) differs."""
+    data_root, exp_root = env
+    import yaml
+    cfg = yaml.safe_load(open(_write_cfg(tmp_path, data_root,
+                                         name="e2e_ema")))
+    cfg["train"]["ema_decay"] = 0.9
+    p = tmp_path / "ema_cfg.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    from refid_tpu.cli.train import main
+    task = main(["-opt", str(p), "--root", exp_root])
+    assert task.state.ema_params is not None
+    import jax
+    lq = np.zeros((1, 16, 16, 8), np.float32)
+    vox = np.zeros((1, 5, 16, 16, 2), np.float32)
+    a = np.asarray(task.predict(lq, vox, use_ema=False))
+    b = np.asarray(task.predict(lq, vox, use_ema=True))
+    assert np.abs(a - b).max() > 1e-7  # ema lags the live params
