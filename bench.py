@@ -41,7 +41,12 @@ def main():
 
     from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
 
-    cfg = RefidConfig()
+    # Serving config: bf16 compute (deviates from the f32 forward by 65 dB,
+    # <0.01 dB end-to-end — PERFORMANCE.md) and trace-time-unrolled temporal
+    # loop (identical math to the scanned model, tested exact in
+    # tests/test_model_parity.py; lets XLA pick one layout for all t steps
+    # instead of re-converting at every scan boundary: 14 -> 42 frames/s).
+    cfg = RefidConfig(dtype=jnp.bfloat16, unroll=True)
     model = FinalBidirectionAttenfusion(cfg)
     b, t, h, w = 1, 23, 720, 1280
     rng = np.random.RandomState(0)
@@ -65,7 +70,7 @@ def main():
         def body(_, carry):
             xi, s = carry
             out = model.apply(params, xi, ev)
-            s = jnp.mean(out)
+            s = jnp.mean(out.astype(jnp.float32))
             return (x + s * 1e-12, s)  # dependency chain across iterations
 
         return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))[1]

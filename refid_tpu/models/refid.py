@@ -59,6 +59,9 @@ class RefidConfig:
     atten_fuse_at: Tuple[int, ...] = (1,)
     aliased_backward_states: bool = True   # reference checkpoint parity
     remat: bool = False                    # rematerialize scan steps
+    unroll: bool = False                   # trace-time loop instead of scan
+                                           # (same params; lets XLA pick one
+                                           # layout across all t steps)
     dtype: Optional[Any] = None            # compute dtype (None -> f32)
     # --- ablation axes (paper lineage, expressed as flags instead of the
     # reference's per-variant arch files XXNet_*_arch.py) ---
@@ -235,12 +238,27 @@ class FinalBidirectionAttenfusion(nn.Module):
             fwd_cls = nn.remat(fwd_cls)
 
         if cfg.bidirectional:
-            BackScan = nn.scan(
-                back_cls, variable_broadcast="params",
-                split_rngs={"params": False},
-                in_axes=(nn.broadcast, 1), out_axes=1, reverse=True)
-            bwd_final, bwd_stack = BackScan(cfg, name="bwd")(
-                enc_state_zeros, (x_blocks, head_kb), event)
+            if cfg.unroll:
+                bwd_mod = back_cls(cfg, name="bwd")
+                states = enc_state_zeros
+                ys_by_time = [None] * t
+                for k in range(t - 1, -1, -1):
+                    states, ys = bwd_mod(states, (x_blocks, head_kb),
+                                         event[:, k])
+                    ys_by_time[k] = ys
+                bwd_final = states
+                if cfg.aliased_backward_states:
+                    bwd_stack = None
+                else:  # stack like nn.scan(out_axes=1): time-index order
+                    bwd_stack = jax.tree.map(
+                        lambda *xs: jnp.stack(xs, axis=1), *ys_by_time)
+            else:
+                BackScan = nn.scan(
+                    back_cls, variable_broadcast="params",
+                    split_rngs={"params": False},
+                    in_axes=(nn.broadcast, 1), out_axes=1, reverse=True)
+                bwd_final, bwd_stack = BackScan(cfg, name="bwd")(
+                    enc_state_zeros, (x_blocks, head_kb), event)
         else:
             bwd_final, bwd_stack = enc_state_zeros, None
 
@@ -253,10 +271,6 @@ class FinalBidirectionAttenfusion(nn.Module):
                       dt)
             for i in range(cfg.num_encoders))
 
-        FwdScan = nn.scan(
-            fwd_cls, variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=(nn.broadcast, 1), out_axes=1)
         carry0 = (enc_state_zeros, dec_state_zeros)
         if cfg.aliased_backward_states or not cfg.bidirectional:
             const = (x_blocks, head, head_kb, bwd_final)
@@ -264,6 +278,19 @@ class FinalBidirectionAttenfusion(nn.Module):
         else:
             const = (x_blocks, head, head_kb)
             xs = (event, bwd_stack)
+        if cfg.unroll:
+            fwd_mod = fwd_cls(cfg, name="fwd")
+            carry = carry0
+            outs = []
+            for k in range(t):
+                xk = jax.tree.map(lambda a: a[:, k], xs)
+                carry, o = fwd_mod(carry, const, xk)
+                outs.append(o)
+            return jnp.stack(outs, axis=1)
+        FwdScan = nn.scan(
+            fwd_cls, variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, 1), out_axes=1)
         _, out = FwdScan(cfg, name="fwd")(carry0, const, xs)
         return out
 

@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--decoder", default="transpose_recurrent")
     ap.add_argument("--num-block", type=int, default=1)
     ap.add_argument("--b", type=int, default=1)
+    ap.add_argument("--unroll", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +42,8 @@ def main():
                       atten_fuse_at=() if args.no_atten else (1,),
                       bidirectional=not args.no_bidir,
                       decoder_type=args.decoder,
-                      num_block=args.num_block)
+                      num_block=args.num_block,
+                      unroll=args.unroll)
     model = FinalBidirectionAttenfusion(cfg)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(args.b, args.h, args.w,
@@ -70,7 +72,7 @@ def main():
     float(fn(params, x, ev, args.iters + 1))
     d2 = time.perf_counter() - t0
     per = (d2 - d1) / args.iters
-    tag = args.label or ("bf16" if args.bf16 else "f32")
+    tag = args.label or (("bf16" if args.bf16 else "f32") + ("+unroll" if args.unroll else ""))
     print(f"{tag} b={args.b} {args.h}x{args.w} t={args.t} base={args.base}: "
           f"{per*1000:.0f} ms/forward -> {args.b*args.t/per:.1f} frames/s")
 

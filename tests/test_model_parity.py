@@ -137,3 +137,28 @@ def test_ablation_archs_run(arch_name):
     out = net.apply(p, jnp.zeros((1, 16, 16, 6)),
                     jnp.zeros((1, 2, 16, 16, 2)))
     assert out.shape == (1, 2, 16, 16, 3)
+
+
+@pytest.mark.parametrize("aliased", [True, False])
+def test_unroll_matches_scan_exactly(aliased):
+    """cfg.unroll replaces the nn.scans with a trace-time loop over shared
+    step modules (the serving path bench.py uses); the param tree and the
+    outputs must be bit-identical to the scanned model."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+
+    cfg = RefidConfig(base_num_channels=8, aliased_backward_states=aliased)
+    m_scan = FinalBidirectionAttenfusion(cfg)
+    m_unroll = FinalBidirectionAttenfusion(
+        dataclasses.replace(cfg, unroll=True))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 32, 32, cfg.img_chn).astype(np.float32))
+    ev = jnp.asarray(rng.rand(1, 5, 32, 32, cfg.ev_chn).astype(np.float32))
+    p = m_scan.init(jax.random.PRNGKey(0), x, ev)
+    p2 = m_unroll.init(jax.random.PRNGKey(0), x, ev)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+    out_scan = np.asarray(m_scan.apply(p, x, ev))
+    out_unroll = np.asarray(m_unroll.apply(p, x, ev))
+    np.testing.assert_array_equal(out_scan, out_unroll)
