@@ -56,6 +56,9 @@ class _RecurrentTaskBase(RestorationTaskBase):
         acc_deblur = defaultdict(float)
         acc_interpo = defaultdict(float)
         cnt = 0
+        # Accumulated across ALL items so mixed-t_out loaders average
+        # correctly (each metric sum is divided by the number of frames that
+        # actually contributed to it, not by cnt * last-item's count).
         n_deblur_frames = n_interpo_frames = 0
 
         for item_idx, batch in enumerate(loader):
@@ -71,7 +74,6 @@ class _RecurrentTaskBase(RestorationTaskBase):
                 pred = np.asarray(self.predict(lq[None], voxel[None]))[0]
 
             t_out = pred.shape[0]
-            n_deblur_frames = n_interpo_frames = 0
             for frame_idx in range(t_out):
                 sr_img = tensor2img(pred[frame_idx])
                 gt_img = tensor2img(gt[frame_idx])
@@ -97,11 +99,11 @@ class _RecurrentTaskBase(RestorationTaskBase):
         results: Dict[str, float] = {}
         if cnt:
             for k in acc_deblur:
-                results[f"deblur_{k}"] = acc_deblur[k] / (
-                    cnt * max(n_deblur_frames, 1))
+                results[f"deblur_{k}"] = acc_deblur[k] / max(
+                    n_deblur_frames, 1)
             for k in acc_interpo:
-                results[f"interpo_{k}"] = acc_interpo[k] / (
-                    cnt * max(n_interpo_frames, 1))
+                results[f"interpo_{k}"] = acc_interpo[k] / max(
+                    n_interpo_frames, 1)
             # weighted total (reference :515-525): 2m*deblur + n*interpo
             for k in set(acc_deblur) & set(acc_interpo):
                 results[f"total_{k}"] = (

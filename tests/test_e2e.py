@@ -120,6 +120,51 @@ def test_validation_metrics(env, tmp_path):
     assert abs(res["total_psnr"] - want_total) < 1e-9
 
 
+def test_validation_mixed_frame_counts():
+    """Metric averaging must divide by the TOTAL contributing frame count,
+    not cnt * the last item's count (reference parity:
+    twoImage_event_recurrent_model.py:499-542 averages per frame)."""
+    from refid_tpu.tasks.recurrent import (
+        TwoImageEventRecurrentRestorationTask)
+
+    task = TwoImageEventRecurrentRestorationTask.__new__(
+        TwoImageEventRecurrentRestorationTask)
+    task.opt = {"val": {
+        "metrics_deblur": {"psnr": {"type": "calculate_psnr"}},
+        "metrics_interpo": {"psnr": {"type": "calculate_psnr"}}},
+        "path": {}}
+
+    m, n = 2, 1
+    rng = np.random.RandomState(0)
+    # item 0: t_out = 2m+n = 5; item 1: t_out = 2m+2n = 6 (pretend mixed n)
+    items = []
+    for t_out in (5, 6):
+        gt = rng.rand(t_out, 8, 8, 3).astype(np.float32)
+        pred = np.clip(gt + 0.1 * rng.randn(*gt.shape).astype(np.float32),
+                       0, 1)
+        items.append((pred, gt))
+
+    preds = iter([p for p, _ in items])
+    task.predict = lambda lq, vox: next(preds)[None]
+
+    loader = [{"lq": np.zeros((1, 8, 8, 3), np.float32),
+               "voxel": np.zeros((1, 5, 8, 8, 2), np.float32),
+               "gt": gt[None], "seq": ["s"], "origin_index": ["0"]}
+              for _, gt in items]
+    res = task.validate(loader, {"num_end_interpolation": m,
+                                 "num_inter_interpolation": n})
+
+    from refid_tpu.eval.metrics import calculate_psnr as psnr_fn
+    from refid_tpu.data.img_util import tensor2img
+    deblur_vals, interpo_vals = [], []
+    for pred, gt in items:
+        for f in range(pred.shape[0]):
+            v = psnr_fn(tensor2img(pred[f]), tensor2img(gt[f]))
+            (interpo_vals if m <= f < m + n else deblur_vals).append(v)
+    assert abs(res["deblur_psnr"] - np.mean(deblur_vals)) < 1e-9
+    assert abs(res["interpo_psnr"] - np.mean(interpo_vals)) < 1e-9
+
+
 def test_tiled_inference_matches_direct_on_identity():
     """grids tiling with an identity 'network' must reproduce the input."""
     from refid_tpu.eval.tiling import tiled_apply
