@@ -34,7 +34,8 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/refid_tpu_jax_cache")
 
     from refid_tpu.core.config import parse_options, dict2str
-    from refid_tpu.core.logging_util import get_root_logger, MessageLogger
+    from refid_tpu.core.logging_util import (get_root_logger, MessageLogger,
+                                             init_tb_logger)
     from refid_tpu.data import build_dataset, build_loader
     from refid_tpu.parallel.mesh import init_distributed
     from refid_tpu.tasks import build_task
@@ -95,7 +96,8 @@ def main(argv=None):
     total_iter = opt["train"]["total_iter"]
     val_freq = int(opt.get("val", {}).get("val_freq", 0) or 0)
     save_freq = int(opt.get("logger", {}).get("save_checkpoint_freq", 0) or 0)
-    msg_logger = MessageLogger(opt, task.start_iter + 1)
+    tb_logger = init_tb_logger(opt) if jax.process_index() == 0 else None
+    msg_logger = MessageLogger(opt, task.start_iter + 1, tb_logger)
 
     current_iter = task.start_iter
     epoch = task.start_epoch
@@ -120,15 +122,22 @@ def main(argv=None):
                 task.save(current_iter, epoch)
             if val_freq and current_iter % val_freq == 0:
                 for dopt, vloader in val_loaders:
-                    task.validate(vloader, dopt, current_iter,
-                                  save_img=opt.get("val", {}).get(
-                                      "save_img", False), logger=logger)
+                    res = task.validate(vloader, dopt, current_iter,
+                                        save_img=opt.get("val", {}).get(
+                                            "save_img", False), logger=logger)
+                    if tb_logger is not None and res:
+                        name = dopt.get("name", "val")
+                        tb_logger.add_scalars(
+                            {f"metrics/{name}/{k}": v
+                             for k, v in res.items()}, current_iter)
         epoch += 1
 
     logger.info("training complete; saving final checkpoint")
     task.save(current_iter, epoch)
     for dopt, vloader in val_loaders:
         task.validate(vloader, dopt, current_iter, logger=logger)
+    if tb_logger is not None:
+        tb_logger.close()
     return task
 
 

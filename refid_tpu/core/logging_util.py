@@ -10,7 +10,19 @@ import logging
 import time
 from typing import Optional
 
-__all__ = ["get_root_logger", "MessageLogger"]
+__all__ = ["get_root_logger", "MessageLogger", "init_tb_logger"]
+
+
+def init_tb_logger(opt: dict):
+    """Create a TensorBoardWriter under tb_logger/<name> when
+    ``logger.use_tb_logger`` is set (parity: basicsr/utils/logger.py:71-85;
+    wandb sync is not supported — no network egress)."""
+    log_opt = opt.get("logger", {}) or {}
+    if not log_opt.get("use_tb_logger"):
+        return None
+    from refid_tpu.core.tb_writer import TensorBoardWriter
+    root = opt.get("path", {}).get("root", ".")
+    return TensorBoardWriter(f"{root}/tb_logger/{opt.get('name', 'exp')}")
 
 _initialized = set()
 
@@ -37,13 +49,14 @@ def get_root_logger(name: str = "refid_tpu", log_level=logging.INFO,
 class MessageLogger:
     """Periodic training log lines with lr / losses / ETA."""
 
-    def __init__(self, opt: dict, start_iter: int = 1):
+    def __init__(self, opt: dict, start_iter: int = 1, tb_logger=None):
         self.exp_name = opt.get("name", "exp")
         self.interval = opt.get("logger", {}).get("print_freq", 100)
         self.start_iter = start_iter
         self.max_iters = opt["train"]["total_iter"]
         self.start_time = time.time()
         self.logger = get_root_logger()
+        self.tb_logger = tb_logger
 
     def __call__(self, log_vars: dict):
         current_iter = log_vars.pop("iter")
@@ -66,3 +79,8 @@ class MessageLogger:
         for k, v in log_vars.items():
             message += f"{k}: {float(v):.4e} "
         self.logger.info(message)
+        if self.tb_logger is not None:
+            scalars = {f"losses/{k}": float(v) for k, v in log_vars.items()}
+            if lr is not None:
+                scalars["learning_rate"] = float(lr)
+            self.tb_logger.add_scalars(scalars, current_iter)
