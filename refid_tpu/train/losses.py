@@ -44,10 +44,19 @@ def mse_loss(pred, target, weight=None, loss_weight=1.0, reduction="mean"):
     return loss_weight * _reduce((pred - target) ** 2, weight, reduction)
 
 
-def psnr_loss(pred, target, loss_weight=1.0):
-    """Negative-PSNR-style loss (losses.py:95-120, toY=False path):
-    scale * mean_batch(log(mse_per_image + 1e-8)).  Expects 4-D inputs."""
+def psnr_loss(pred, target, loss_weight=1.0, toY=False):
+    """Negative-PSNR-style loss (losses.py:95-120):
+    scale * mean_batch(log(mse_per_image + 1e-8)).  Expects 4-D NHWC inputs.
+
+    ``toY`` projects RGB in [0,1] to the BT.601 luma channel (the reference's
+    ``(pred * coef).sum(dim=1) + 16.`` then ``/255.``, losses.py:108-117)
+    before the MSE."""
     assert pred.ndim == 4
+    if toY:
+        coef = jnp.asarray([65.481, 128.553, 24.966], dtype=pred.dtype)
+        pred = (jnp.sum(pred * coef, axis=-1, keepdims=True) + 16.0) / 255.0
+        target = (jnp.sum(target * coef, axis=-1, keepdims=True)
+                  + 16.0) / 255.0
     scale = 10.0 / jnp.log(10.0)
     per_image = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
     return loss_weight * scale * jnp.mean(jnp.log(per_image + 1e-8))

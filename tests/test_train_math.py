@@ -49,6 +49,25 @@ def test_psnr_loss_matches_torch_formula():
     assert abs(got - want) < 2e-4  # f32 log noise
 
 
+def test_psnr_loss_toY_matches_torch_reference():
+    """toY path vs the reference PSNRLoss formula (losses.py:95-120):
+    BT.601 luma projection before the log-MSE."""
+    import torch
+
+    a, b = _pair(shape=(2, 8, 8, 3), seed=6)  # NHWC
+    got = float(psnr_loss(a, b, toY=True))
+
+    ta = torch.from_numpy(np.transpose(a, (0, 3, 1, 2)))
+    tb = torch.from_numpy(np.transpose(b, (0, 3, 1, 2)))
+    coef = torch.tensor([65.481, 128.553, 24.966]).reshape(1, 3, 1, 1)
+    pa = ((ta * coef).sum(dim=1, keepdim=True) + 16.0) / 255.0
+    pb = ((tb * coef).sum(dim=1, keepdim=True) + 16.0) / 255.0
+    scale = 10 / np.log(10)
+    want = float(scale * torch.log(
+        ((pa - pb) ** 2).mean(dim=(1, 2, 3)) + 1e-8).mean())
+    assert abs(got - want) < 2e-4
+
+
 def test_build_loss():
     a, b = _pair(seed=5)
     fn = build_loss({"type": "CharbonnierLoss", "loss_weight": 2.0,
