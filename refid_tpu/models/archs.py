@@ -23,6 +23,7 @@ def _refid_cfg(opt: dict, **overrides) -> RefidConfig:
         num_residual_blocks=opt.get("num_residual_blocks", 2),
         aliased_backward_states=opt.get("aliased_backward_states", True),
         remat=opt.get("remat", False),
+        siamese_fusion=opt.get("siamese_fusion"),
     )
     kw.update(overrides)
     if opt.get("compute_dtype") == "bfloat16":
@@ -106,3 +107,20 @@ def unet_ps_decoder_recurrent(opt: dict):
     """Pixel-shuffle recurrent decoder (XXNet_ps_decoder_recurrent_arch.py)."""
     return FinalBidirectionAttenfusion(_refid_cfg(
         opt, atten_fuse_at=(), decoder_type="pixelshuffle_recurrent"))
+
+
+@ARCHS.register("UNetDecoderRecurrentSiameseImg")
+def unet_decoder_recurrent_siamese(opt: dict):
+    """Siamese image encoder: each input frame encoded separately with
+    shared weights, per-scale SE-gated fusion
+    (XXNet_decoder_recurrent_siamese_arch.py:79)."""
+    return FinalBidirectionAttenfusion(_refid_cfg(
+        opt, bidirectional=False, atten_fuse_at=(), siamese_fusion="se"))
+
+
+@ARCHS.register("UNetDecoderRecurrentSiameseImgNoAtten")
+def unet_decoder_recurrent_siamese_noatten(opt: dict):
+    """Siamese image encoder, additive fusion
+    (XXNet_decoder_recurrent_siamese_noatten_arch.py:79)."""
+    return FinalBidirectionAttenfusion(_refid_cfg(
+        opt, bidirectional=False, atten_fuse_at=(), siamese_fusion="add"))

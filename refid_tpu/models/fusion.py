@@ -82,3 +82,24 @@ class CrossmodalAtten(nn.Module):
             gamma = gamma.astype(self.dtype)
         y = conv2d(y, self.c_out, 1, dtype=self.dtype, name="conv_y_side")
         return y + ffn * gamma
+
+
+class ImgEvFusion(nn.Module):
+    """Siamese two-image fusion gated by the event features.
+
+    Parity: ``img_ev_fusion`` (fusion_modules.py:57-73) — two single-conv SE
+    gates computed from the event branch weight the two image-encoder
+    features; the event features themselves are NOT passed through:
+    ``out = feat_0 * se_0(ev) + feat_1 * se_1(ev)``.
+    """
+    c: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, ev, feat_0, feat_1):
+        def gate(name):
+            w = jnp.mean(ev, axis=(1, 2), keepdims=True)
+            w = conv2d(w, self.c, 1, dtype=self.dtype, name=name)
+            return jax.nn.sigmoid(w)
+
+        return feat_0 * gate("se_0") + feat_1 * gate("se_1")

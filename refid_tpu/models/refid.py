@@ -69,6 +69,12 @@ class RefidConfig:
     recurrent_cell: str = "simpleconv"     # 'convgru' | 'convlstm'
     decoder_type: str = "transpose_recurrent"  # 'pixelshuffle_recurrent' |
                                                # 'upsample_conv' (no state)
+    siamese_fusion: Optional[str] = None   # 'se' | 'add': run the image
+    # encoder per input frame with shared weights and fuse the two per-scale
+    # feature maps AFTER each event-encoder stage (the siamese lineage,
+    # XXNet_decoder_recurrent_siamese{,_noatten}_arch.py:79; 'se' =
+    # img_ev_fusion SE gates, 'add' = e + x0 + x1).  Unidirectional only —
+    # the reference siamese forward has no bidirectional variant (:140-141).
 
     @property
     def encoder_in_sizes(self) -> Tuple[int, ...]:
@@ -139,8 +145,11 @@ class _ForwardStep(nn.Module):
         e = e_t
         new_fwd = []
         e_blocks = []
+        siamese = cfg.siamese_fusion is not None
         for i in range(cfg.num_encoders):
-            y = None if i == 0 else x_blocks[i - 1]
+            # siamese: no input-side image fuse — the two per-frame feature
+            # maps are fused AFTER the stage (siamese arch :180-185)
+            y = None if (i == 0 or siamese) else x_blocks[i - 1]
             e, s = RecurrentEncoderStage(
                 in_ch=cfg.encoder_in_sizes[i],
                 out_ch=cfg.encoder_out_sizes[i],
@@ -152,12 +161,21 @@ class _ForwardStep(nn.Module):
                 name=f"enc_{i}",
             )(e, y, fwd_states[i],
               bwd_states[i] if cfg.bidirectional else None)
+            if siamese:
+                x0f, x1f = x_blocks[i]
+                if cfg.siamese_fusion == "se":
+                    from refid_tpu.models.fusion import ImgEvFusion
+                    e = ImgEvFusion(cfg.encoder_out_sizes[i], dtype=cfg.dtype,
+                                    name=f"img_ev_fusion_{i}")(e, x0f, x1f)
+                else:  # 'add' (siamese_noatten :183-185)
+                    e = e + x0f + x1f
             e_blocks.append(e)
             new_fwd.append(s)
 
-        # bottleneck: first resblock adds the deepest image feature
+        # bottleneck: first resblock adds the deepest image feature (the
+        # siamese lineage has no bottleneck image add, siamese arch :186-188)
         for i in range(cfg.num_residual_blocks):
-            inp = e + x_blocks[-1] if i == 0 else e
+            inp = e + x_blocks[-1] if (i == 0 and not siamese) else e
             e = ResidualBlock(cfg.max_num_channels, dtype=cfg.dtype,
                               name=f"res_{i}")(inp)
 
@@ -179,8 +197,10 @@ class _ForwardStep(nn.Module):
                                    name=f"dec_{i}")(e + skip, dec_states[i])
             new_dec.append(s)
 
+        # siamese lineage predicts from the decoder output alone (:199-201)
+        pred_in = e if siamese else e + head
         out = ConvLayer(cfg.out_chn, 3, 1, 1, relu_slope=None,
-                        dtype=cfg.dtype, name="pred")(e + head)
+                        dtype=cfg.dtype, name="pred")(pred_in)
         return (tuple(new_fwd), tuple(new_dec)), out
 
 
@@ -210,17 +230,38 @@ class FinalBidirectionAttenfusion(nn.Module):
         # both directions like the reference single ``head`` module)
         head_kb = ConvParams(base, cfg.ev_chn, 5, name="head")()
 
-        xh = ConvLayer(base, 5, 1, 2, 0.2, dtype=cfg.dtype, name="head_img")(x)
-        head = xh
+        if cfg.siamese_fusion is not None:
+            # siamese: run head+encoder on each input frame with SHARED
+            # weights by stacking the two channel-halves along batch
+            # (reference rearrange 'b (t c) h w -> (t b) c h w', :155-156)
+            assert not cfg.bidirectional, \
+                "the siamese lineage is unidirectional (siamese arch :140)"
+            c2 = x.shape[-1] // 2
+            x2 = jnp.concatenate([x[..., :c2], x[..., c2:]], axis=0)
+            xh = ConvLayer(base, 5, 1, 2, 0.2, dtype=cfg.dtype,
+                           name="head_img")(x2)
+            head = None
+            x_blocks = []
+            cur = xh
+            for i in range(cfg.num_encoders):
+                cur = ImageEncoderConvBlock(cfg.encoder_out_sizes[i],
+                                            downsample=True, dtype=cfg.dtype,
+                                            name=f"img_enc_{i}")(cur)
+                x_blocks.append((cur[:b], cur[b:]))
+            x_blocks = tuple(x_blocks)
+        else:
+            xh = ConvLayer(base, 5, 1, 2, 0.2, dtype=cfg.dtype,
+                           name="head_img")(x)
+            head = xh
 
-        x_blocks = []
-        cur = xh
-        for i in range(cfg.num_encoders):
-            cur = ImageEncoderConvBlock(cfg.encoder_out_sizes[i],
-                                        downsample=True, dtype=cfg.dtype,
-                                        name=f"img_enc_{i}")(cur)
-            x_blocks.append(cur)
-        x_blocks = tuple(x_blocks)
+            x_blocks = []
+            cur = xh
+            for i in range(cfg.num_encoders):
+                cur = ImageEncoderConvBlock(cfg.encoder_out_sizes[i],
+                                            downsample=True, dtype=cfg.dtype,
+                                            name=f"img_enc_{i}")(cur)
+                x_blocks.append(cur)
+            x_blocks = tuple(x_blocks)
 
         dt = cfg.dtype or jnp.float32
         # recurrent states live at PRE-downsample resolution per scale

@@ -72,6 +72,21 @@ def build_optimizer(train_opt: dict, total_iter: int):
                                momentum=optim.pop("momentum", 0.0)))
     else:
         raise ValueError(f"unknown optimizer {typ!r}")
+
+    # Per-param-group LR for deformable-conv offsets (parity: the reference
+    # puts params under 'offsets'/'dcns' in a 0.1x-lr group,
+    # twoImage_event_recurrent_model.py:67-95).  Scaling the post-optimizer
+    # update equals scaling that group's lr — AdamW updates are linear in lr.
+    mult = train_opt.get("dcn_lr_mult", 0.1)
+    if mult != 1.0:
+        def _dcn_mask(params):
+            def is_dcn(path):
+                return any("offset" in str(getattr(k, "key", k)).lower()
+                           or "dcn" in str(getattr(k, "key", k)).lower()
+                           for k in path)
+            return jax.tree_util.tree_map_with_path(
+                lambda p, _: is_dcn(p), params)
+        parts.append(optax.masked(optax.scale(mult), _dcn_mask))
     return optax.chain(*parts), schedule
 
 

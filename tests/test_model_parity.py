@@ -122,7 +122,8 @@ def test_fixed_bidirectional_mode_differs_and_runs():
 @pytest.mark.parametrize("arch_name", [
     "UNetRecurrent", "UNetDecoderRecurrent", "BidirUNetRecurrent",
     "UNetDecoderRecurrentBidirection", "UNetPSDecoderRecurrent",
-    "FinalBidirection"])
+    "FinalBidirection", "UNetDecoderRecurrentSiameseImg",
+    "UNetDecoderRecurrentSiameseImgNoAtten"])
 def test_ablation_archs_run(arch_name):
     import jax
     import jax.numpy as jnp
@@ -137,6 +138,30 @@ def test_ablation_archs_run(arch_name):
     out = net.apply(p, jnp.zeros((1, 16, 16, 6)),
                     jnp.zeros((1, 2, 16, 16, 2)))
     assert out.shape == (1, 2, 16, 16, 3)
+
+
+def test_siamese_shares_image_encoder_weights():
+    """The siamese variants run BOTH input frames through one shared image
+    encoder (siamese arch :155-156): swapping the two frame channel-halves
+    with symmetric gates must not create new parameters, and the param tree
+    must contain the per-scale img_ev_fusion gates."""
+    import jax
+    import jax.numpy as jnp
+    from refid_tpu.core.registry import ARCHS
+    import refid_tpu.models.archs  # noqa: F401
+
+    net = ARCHS.get("UNetDecoderRecurrentSiameseImg")(
+        {"img_chn": 6, "ev_chn": 2, "num_encoders": 2,
+         "base_num_channels": 4, "num_residual_blocks": 1})
+    p = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 6)),
+                 jnp.zeros((1, 2, 16, 16, 2)))
+    names = set(p["params"])
+    fwd_names = set(p["params"]["fwd"])
+    assert {"img_ev_fusion_0", "img_ev_fusion_1"} <= fwd_names, fwd_names
+    # exactly ONE image head / encoder stack (shared weights)
+    assert "head_img" in names and "img_enc_0" in names
+    assert not any(n.endswith("_1") and n.startswith("head_img")
+                   for n in names)
 
 
 @pytest.mark.parametrize("aliased", [True, False])

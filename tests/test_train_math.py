@@ -296,6 +296,30 @@ def test_srn_and_tv_losses():
     assert float(weighted_tv_loss(flat)) == 0.0
 
 
+def test_dcn_lr_mult_param_group():
+    """Params under 'offsets'/'dcn' paths get 0.1x-lr updates (parity:
+    twoImage_event_recurrent_model.py:67-95 optim_params_lowlr group)."""
+    import jax
+    import jax.numpy as jnp
+    from refid_tpu.train.trainer import build_optimizer
+
+    train_opt = {"optim_g": {"type": "AdamW", "lr": 1e-3,
+                             "betas": [0.9, 0.99], "weight_decay": 0.0},
+                 "scheduler": {"type": "TrueCosineAnnealingLR",
+                               "T_max": 1000000, "eta_min": 1e-3},
+                 "grad_clip_norm": 0, "warmup_iter": -1}
+    tx, _ = build_optimizer(train_opt, 1000000)
+    params = {"conv": {"kernel": jnp.ones((3,))},
+              "offsets": {"kernel": jnp.ones((3,))}}
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # identical grads: offsets update must be exactly 0.1x the regular one
+    np.testing.assert_allclose(np.asarray(updates["offsets"]["kernel"]),
+                               0.1 * np.asarray(updates["conv"]["kernel"]),
+                               rtol=1e-6)
+
+
 def test_adamw_clip_step_matches_torch():
     """One optimizer step (clip 0.01 -> AdamW 2e-4/0.9/0.99/wd 1e-4) must
     match torch's clip_grad_norm_ + AdamW.step() on identical params/grads
