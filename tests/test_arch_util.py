@@ -90,6 +90,55 @@ def test_deform_conv_integer_offset_shifts_sampling():
     np.testing.assert_allclose(out[0, :-1], np.asarray(x)[0, 1:], atol=1e-5)
 
 
+def test_deform_conv_hand_computed_golden():
+    """Pin the tap layout and (y,x) offset interleave with hand-computed
+    values (torchvision semantics: tap k = i*kw+j row-major; offset channel
+    2k is DELTA-Y, 2k+1 is DELTA-X; sample = bilinear(p0 + p_k + delta),
+    zeros outside; mask multiplies the sampled value)."""
+    from refid_tpu.ops.deform_conv import deform_conv2d
+
+    # 3x3 single-channel image, values 1..9 (row-major)
+    x = jnp.arange(1.0, 10.0).reshape(1, 3, 3, 1)
+    # 2x2 kernel selecting ONLY tap (i=0, j=1): k = 0*2+1 = 1
+    w = jnp.zeros((2, 2, 1, 1)).at[0, 1, 0, 0].set(1.0)
+    ho = wo = 2  # stride 1, padding 0
+
+    # tap-1 delta-y = +0.5 everywhere (offset channel 2*1 = 2)
+    offset = jnp.zeros((1, ho, wo, 8)).at[..., 2].set(0.5)
+    out = np.asarray(deform_conv2d(x, offset, w, padding=0))[0, ..., 0]
+    # out(oy,ox) = bilinear sample at (oy + 0 + 0.5, ox + 1 + 0)
+    #            = 0.5*x[oy, ox+1] + 0.5*x[oy+1, ox+1]
+    want = np.array([[0.5 * (2 + 5), 0.5 * (3 + 6)],
+                     [0.5 * (5 + 8), 0.5 * (6 + 9)]])
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+    # y/x interleave: the SAME 0.5 written to channel 3 (= tap-1 delta-x)
+    # must shift along x instead; at ox=1 the sample column ox+1+0.5 spills
+    # past the right edge -> bilinear against implicit zeros
+    offset_x = jnp.zeros((1, ho, wo, 8)).at[..., 3].set(0.5)
+    out_x = np.asarray(deform_conv2d(x, offset_x, w, padding=0))[0, ..., 0]
+    want_x = np.array([[0.5 * (2 + 3), 0.5 * 3],
+                       [0.5 * (5 + 6), 0.5 * 6]])
+    np.testing.assert_allclose(out_x, want_x, atol=1e-6)
+
+    # modulation mask scales per tap and position
+    mask = jnp.full((1, ho, wo, 4), 1.0).at[0, 0, 0, 1].set(0.25)
+    out_m = np.asarray(
+        deform_conv2d(x, offset, w, mask=mask, padding=0))[0, ..., 0]
+    want_m = want.copy()
+    want_m[0, 0] *= 0.25
+    np.testing.assert_allclose(out_m, want_m, atol=1e-6)
+
+    # negative fractional delta on tap 0 (channels 0/1): delta-y = -0.25 at
+    # the top row samples above the image -> 0.75 weight on zeros
+    w0 = jnp.zeros((2, 2, 1, 1)).at[0, 0, 0, 0].set(1.0)
+    off_neg = jnp.zeros((1, ho, wo, 8)).at[..., 0].set(-0.25)
+    out_n = np.asarray(deform_conv2d(x, off_neg, w0, padding=0))[0, ..., 0]
+    want_n = np.array([[0.75 * 1, 0.75 * 2],
+                       [0.25 * 1 + 0.75 * 4, 0.25 * 2 + 0.75 * 5]])
+    np.testing.assert_allclose(out_n, want_n, atol=1e-6)
+
+
 def test_modulated_deform_conv_pack_starts_as_conv():
     """Zero-init offsets/mask: pack == plain conv with sigmoid(0)=0.5 mask."""
     from refid_tpu.ops.deform_conv import ModulatedDeformConvPack
