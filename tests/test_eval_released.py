@@ -1,0 +1,82 @@
+"""scripts/eval_released.py smoke test: reference .pth -> convert ->
+eval -> BASELINE.md-format table, end to end on synthetic data."""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.reference_loader import reference_available
+from tests.synthetic_data import make_gopro_tree
+from tests.test_e2e import _write_cfg
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference tree not mounted")
+
+
+def _load_script():
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "scripts", "eval_released.py")
+    spec = importlib.util.spec_from_file_location("eval_released", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_eval_released_smoke(tmp_path, capsys):
+    import torch
+    from tests.reference_loader import load_reference_archs
+
+    data_root = str(tmp_path / "data")
+    make_gopro_tree(data_root, split="test", m=2, n=1,
+                    videos=("VID_A", "VID_B"))
+
+    # a "released" checkpoint: the reference torch arch at the e2e config
+    # (img_chn = 2*(3 + m-1) = 8 for m=2 with deblur-voxel packing)
+    torch.manual_seed(0)
+    arch = load_reference_archs()
+    tmodel = arch.FinalBidirectionAttenfusion(
+        img_chn=8, ev_chn=2, out_chn=3, num_encoders=2,
+        base_num_channels=4, num_residual_blocks=1, num_block=1,
+        use_first_dcn=False)
+    pth = str(tmp_path / "net_g_200000.pth")
+    torch.save({"params": tmodel.state_dict()}, pth)
+
+    # test-mode config derived from the e2e one
+    cfg = yaml.safe_load(open(_write_cfg(tmp_path, data_root,
+                                         name="eval_released_smoke")))
+    cfg["model_type"] = "TestTwoImageEventRecurrentRestorationModel"
+    cfg["datasets"] = {"test_1": cfg["datasets"]["val"]}
+    del cfg["train"]
+    cfg["val"]["metrics_deblur"]["ssim"] = {
+        "type": "calculate_ssim", "crop_border": 0, "test_y_channel": False}
+    cfg["val"]["metrics_interpo"]["ssim"] = {
+        "type": "calculate_ssim", "crop_border": 0, "test_y_channel": False}
+    cfg_path = str(tmp_path / "test_cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    mod = _load_script()
+    results = mod.main(["--pth", pth, "--config", cfg_path,
+                        "--root", str(tmp_path / "results"),
+                        "--max-items", "1",
+                        "--json-out", str(tmp_path / "res.json")])
+    (name, metrics), = results.items()
+    assert np.isfinite(metrics["total_psnr"])
+    assert np.isfinite(metrics["total_ssim"])
+
+    out = capsys.readouterr().out
+    assert "| Metric | Value | Hardware | Source |" in out
+    assert "PSNR / SSIM" in out and "dB" in out
+    assert os.path.exists(tmp_path / "res.json")
+
+
+def test_eval_released_dataroot_override(tmp_path):
+    """--dataroot must rewrite every dataroot* key in every dataset."""
+    mod = _load_script()
+    args = mod.parse_args(["--pth", "x.pth", "--config", "c.yml",
+                           "--dataroot", "/data/GoPro"])
+    assert args.dataroot == "/data/GoPro"
+    assert args.max_items is None
