@@ -187,3 +187,87 @@ def test_unroll_matches_scan_exactly(aliased):
     out_scan = np.asarray(m_scan.apply(p, x, ev))
     out_unroll = np.asarray(m_unroll.apply(p, x, ev))
     np.testing.assert_array_equal(out_scan, out_unroll)
+
+
+def test_forward_parity_production_shape():
+    """Parity at the shapes released checkpoints actually use: t=23, 256x256,
+    base=32, img_chn=26 (blur-VFI 11+1).  Error compounds across 23 scan
+    steps and 3 scales, so toy-shape parity does not bound it; the oracle is
+    dB-denominated — flax output vs torch output >= 60 dB (the <=0.05 dB
+    budget of SURVEY.md §7 corresponds to ~59 dB at a 36 dB signal level)."""
+    import torch
+    import jax.numpy as jnp
+
+    tmodel, jmodel, params, cfg = _build_pair(
+        img_chn=26, ev_chn=2, base=32, num_encoders=3, num_block=1,
+        num_residual_blocks=2, seed=3)
+    rng = np.random.RandomState(3)
+    b, t, h, w = 1, 23, 256, 256
+    x = rng.randn(b, cfg.img_chn, h, w).astype(np.float32)
+    ev = rng.randn(b, t, cfg.ev_chn, h, w).astype(np.float32)
+
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x), torch.from_numpy(ev)).numpy()
+
+    jout = np.asarray(jmodel.apply(
+        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(ev, (0, 1, 3, 4, 2)))))
+    jout = np.transpose(jout, (0, 1, 4, 2, 3))
+    assert jout.shape == tout.shape
+
+    rng_span = float(tout.max() - tout.min())
+    rmse = float(np.sqrt(np.mean((jout - tout) ** 2)))
+    psnr_db = 20 * np.log10(rng_span / rmse)
+    assert psnr_db >= 60.0, f"production-shape parity only {psnr_db:.1f} dB"
+
+
+def test_gradient_parity_t8():
+    """Input gradients (through both temporal loops, all scales, EGACA and
+    the hand-written LayerNorm2d backward, decoder) must match torch
+    autograd at t=8 — the backward-pass analog of the forward oracle.
+
+    Run in float64 so the bound is semantic, not noise-dominated: in f32 the
+    same check lands at ~3e-3 from accumulation across ~100 convs, in f64 it
+    is ~5e-15 (measured) — so 1e-9 cleanly separates "right math" from any
+    real divergence."""
+    import dataclasses
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from refid_tpu.models import FinalBidirectionAttenfusion
+
+    tmodel, jmodel, params, cfg = _build_pair(
+        img_chn=26, ev_chn=2, base=32, num_encoders=3, num_block=1,
+        num_residual_blocks=2, seed=4)
+    # unrolled variant (identical math, test_unroll_matches_scan_exactly):
+    # the scanned model pins its carry inits to f32
+    jmodel = FinalBidirectionAttenfusion(dataclasses.replace(cfg, unroll=True))
+    tmodel = tmodel.double()
+    params = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
+    rng = np.random.RandomState(4)
+    b, t, h, w = 1, 8, 64, 64
+    x = rng.randn(b, cfg.img_chn, h, w)
+    ev = rng.randn(b, t, cfg.ev_chn, h, w)
+
+    tx = torch.from_numpy(x).requires_grad_(True)
+    tev = torch.from_numpy(ev).requires_grad_(True)
+    tmodel.train(False)
+    tmodel(tx, tev).mean().backward()
+    tgx = tx.grad.numpy()
+    tgev = tev.grad.numpy()
+
+    with jax.enable_x64(True):
+        def loss(jx, jev):
+            return jnp.mean(jmodel.apply(params, jx, jev))
+
+        jgx, jgev = jax.grad(loss, argnums=(0, 1))(
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+            jnp.asarray(np.transpose(ev, (0, 1, 3, 4, 2))))
+    jgx = np.transpose(np.asarray(jgx), (0, 3, 1, 2))
+    jgev = np.transpose(np.asarray(jgev), (0, 1, 4, 2, 3))
+
+    for got, want, nm in [(jgx, tgx, "d/dx"), (jgev, tgev, "d/dev")]:
+        denom = np.abs(want).max()
+        rel = np.abs(got - want).max() / max(denom, 1e-20)
+        assert rel < 1e-9, f"{nm} grad rel err {rel}"
