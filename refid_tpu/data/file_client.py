@@ -46,10 +46,32 @@ class _LmdbBackend:
             return txn.get(str(filepath).encode("ascii"))
 
 
+class _MemcachedBackend:
+    """Memcached storage backend (parity: file_client.py:25-57; requires the
+    internal ``mc`` client library, absent here — clear error on absence)."""
+
+    def __init__(self, server_list_cfg: str, client_cfg: str):
+        try:
+            import mc
+        except ImportError as e:
+            raise ImportError(
+                "memcached backend requested but the 'mc' client package is "
+                "not installed in this environment") from e
+        self._client = mc.MemcachedClient.GetInstance(server_list_cfg,
+                                                      client_cfg)
+        self._mc_buffer = mc.pyvector()
+
+    def get(self, filepath: str) -> bytes:
+        import mc
+        self._client.Get(str(filepath), self._mc_buffer)
+        return mc.ConvertBuffer(self._mc_buffer)
+
+
 class FileClient:
     """Unified IO client dispatching on backend name."""
 
-    _backends = {"disk": _DiskBackend, "lmdb": _LmdbBackend}
+    _backends = {"disk": _DiskBackend, "lmdb": _LmdbBackend,
+                 "memcached": _MemcachedBackend}
 
     def __init__(self, backend: str = "disk", **kwargs):
         if backend not in self._backends:

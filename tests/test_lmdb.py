@@ -125,3 +125,30 @@ def test_missing_lmdb_errors_clearly(monkeypatch, tmp_path):
     from refid_tpu.data.lmdb_util import LmdbMaker
     with pytest.raises(ImportError):
         LmdbMaker(str(tmp_path / "x.lmdb"))
+
+
+def test_memcached_backend_via_stub(monkeypatch, tmp_path):
+    """FileClient memcached path (file_client.py parity): Get/ConvertBuffer
+    call sequence via a stub 'mc' module; clear ImportError without it."""
+    from refid_tpu.data.file_client import FileClient
+
+    store = {"k1": b"payload"}
+
+    class _Client:
+        def Get(self, key, buf):
+            buf.value = store.get(key)
+
+    mod = types.ModuleType("mc")
+    mod.MemcachedClient = types.SimpleNamespace(
+        GetInstance=lambda s, c: _Client())
+    mod.pyvector = lambda: types.SimpleNamespace(value=None)
+    mod.ConvertBuffer = lambda buf: buf.value
+    monkeypatch.setitem(sys.modules, "mc", mod)
+
+    fc = FileClient("memcached", server_list_cfg="s.conf",
+                    client_cfg="c.conf")
+    assert fc.get("k1") == b"payload"
+
+    monkeypatch.setitem(sys.modules, "mc", None)
+    with pytest.raises(ImportError):
+        FileClient("memcached", server_list_cfg="s", client_cfg="c")
