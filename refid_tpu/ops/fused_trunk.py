@@ -1,27 +1,39 @@
-"""Pallas prototype: fused ConvResidualBlocks trunk.
+"""Pallas fused ConvResidualBlocks trunk (v2 — production serving kernel).
 
-Fuses the recurrent trunk that dominates the scan step —
+Fuses the recurrent trunk that dominates the model (~70% of all forward
+FLOPs live in the 6 per-step trunks; reference hot loop
+XXNet_final_attenfusion_arch.py:172-216, trunk semantics
+recurrent_sub_modules.py:646-678 + ResidualBlockNoBN):
 
-    h0  = lrelu_0.1(conv3x3(x_cat, W_in) + b_in)       # 2C -> C
-    h1  = relu(conv3x3(h0, W1) + b1)                   # C -> C
-    out = h0 + conv3x3(h1, W2) + b2                    # ResidualBlockNoBN
+    h0  = lrelu_0.1(conv3x3(concat(x, s), W_in) + b_in)   # 2C -> C
+    h1  = relu(conv3x3(h0, W1) + b1)                      # C -> C
+    out = h0 + conv3x3(h1, W2) + b2                       # residual
 
-— into ONE kernel: each row band stays in VMEM across all three convs, so
-the intermediates never round-trip HBM and XLA's inter-conv layout copies
-(PERFORMANCE.md: ~23% of a forward) disappear for this chain.
+into ONE kernel over 2-D (row-band x col-band) tiles: each tile's
+intermediates stay in VMEM across all three convs, so
 
-Convs are computed as 9 tap matmuls on the MXU; column shifts use
-``pltpu.roll`` (wrapped columns land beyond the valid width and are never
-read); row shifts are free leading-dim slices.  The host pads H and W by 3
-(zero padding of all three convs folded into one).
+  * the concat(x, state) tensor is never materialized (x and state are
+    separate inputs; the first conv contracts each against its kernel
+    slice),
+  * h0/h1 never round-trip HBM,
+  * the activations are epilogues, not standalone XLA passes,
+  * there are no layout-conversion copies between the convs.
 
-Status: PROTOTYPE — numerics verified against the XLA trunk (< 1e-5,
-interpret mode, tests/test_fused_trunk.py), but the TPU compile currently
-exceeds the 16MB scoped-VMEM budget: Mosaic keeps all 27 unrolled tap
-temporaries live (~28MB at width 262; raising vmem_limit_bytes to 100MB
-crashed the TPU worker).  Round-2 fix, in order: (1) fori_loop over taps
-with a scratch accumulator so temporaries are reused, (2) column-band
-tiling with halo DMA for wide images, (3) then wire into the scan step.
+Each conv is 9 tap matmuls on the MXU (rank-3 dot_general keeps the
+(rows, width, chan) layout; a 2-D reshape would force a relayout per tap).
+Column alignment is done on the STORE side: tap (u, v)'s unshifted matmul
+accumulates into a v-offset column window of the f32 accumulator — TPU
+sublane shifts are only implemented for 32-bit data, so the bf16 activation
+buffers are never column-shifted (v1 used pltpu.roll on the inputs, which
+Mosaic rejects for bf16).  Row taps are outer-dim slices (free).  VMEM
+stays bounded by a fori_loop over kernel rows with ref accumulation
+(v1 unrolled all 27 taps and overflowed the 16 MB budget) plus column-band
+tiling.
+
+Compute dtype follows the inputs (bf16 serving / f32); accumulation is
+always f32 like an XLA conv.  Inputs are host-padded by 3 (all three convs'
+zero padding folded); intermediates are masked back to the true image
+extent so conv bias cannot leak through padding.
 """
 
 from __future__ import annotations
@@ -37,119 +49,226 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_trunk", "fused_trunk_reference"]
 
-
-def _conv3x3_taps(buf, kernel, bias, rows_out, interpret):
-    """buf (R, Wp, Cin) -> (rows_out, Wp, Cout); cols >= valid shift garbage
-    rightward only (callers track the valid width)."""
-    wp = buf.shape[1]
-    cout = kernel.shape[-1]
-    acc = jnp.zeros((rows_out, wp, cout), jnp.float32)
-    for u in range(3):
-        rows = buf[u:u + rows_out]
-        for v in range(3):
-            if v and not interpret:
-                # pltpu.roll needs a non-negative shift: left-shift by v ==
-                # circular right-shift by (size - v)
-                shifted = pltpu.roll(rows, rows.shape[1] - v, axis=1)
-            else:  # interpret mode / v==0: jnp.roll is portable
-                shifted = jnp.roll(rows, -v, axis=1) if v else rows
-            # rank-3 contraction over the lane (channel) dim — a reshape
-            # to 2-D would merge the sublane dim and force a relayout copy
-            # per tap
-            acc += jax.lax.dot_general(
-                shifted, kernel[u, v],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    return acc + bias
+_B = 2  # acc column base: out col o lives at acc col o + _B
 
 
-def _mask_to_image(t, band_row0, row_off, col_off, height, width):
-    """Zero entries outside the true image extent: local row r maps to image
-    row band_row0 + r - row_off, local col w to image col w - col_off.
-    (Chained VALID convs over a pre-padded input would otherwise leak conv
-    bias through the padding — intermediate padding must be exactly zero.)"""
-    rows, wp, _ = t.shape
-    r_img = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0) + (
-        band_row0 - row_off)
-    c_img = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1) - col_off
+def _roll_left_f32(t, v, interpret):
+    if v == 0:
+        return t
+    if interpret:
+        return jnp.roll(t, -v, axis=1)
+    # left-shift by v == circular right-shift by (size - v); f32 only —
+    # Mosaic implements sublane rotates for 32-bit data
+    return pltpu.roll(t, t.shape[1] - v, axis=1)
+
+
+def _conv_taps(reads, rows_out, wc, cout, interpret):
+    """f32 (rows_out, wc, cout) = sum of 3x3 tap matmuls over the given
+    (read_rows, w_ref) pairs; accumulation is a fori-loop VALUE carry (one
+    VMEM temporary, no per-tap read-modify-write of a scratch ref).
+
+    Tap (u, v): contrib_v[c] = rows[c] . w[u, v] belongs at out col c - v,
+    i.e. the f32 contrib is rolled LEFT by v (wraparound lands at cols
+    >= wc - 2, outside every downstream read window given wc >= bw + 8).
+    """
+    def one_pair(read_rows, w_ref, acc):
+        def u_body(u, acc):
+            rows = read_rows(u, rows_out)
+            # fold rows into the matmul M dim: with tile-aligned wc this
+            # reshape is layout-free (whole sublane groups concatenate) and
+            # turns rows_out small matmuls into one (rows_out*wc, K, N)
+            rows2 = rows.reshape(rows_out * wc, rows.shape[-1])
+            for v in range(3):
+                contrib = jnp.dot(rows2, w_ref[u, v],
+                                  preferred_element_type=jnp.float32)
+                contrib = contrib.reshape(rows_out, wc, contrib.shape[-1])
+                acc = acc + _roll_left_f32(contrib, v, interpret)
+            return acc
+        return jax.lax.fori_loop(0, 3, u_body, acc)
+
+    acc = jnp.zeros((rows_out, wc, cout), jnp.float32)
+    for read_rows, w_ref in reads:
+        acc = one_pair(read_rows, w_ref, acc)
+    return acc
+
+
+def _mask_to_image(t, row0, col0, off, height, width):
+    """Zero entries outside the true image extent: local (r, c) maps to
+    image (row0 + r - off, col0 + c - off)."""
+    rows, wc, _ = t.shape
+    r_img = jax.lax.broadcasted_iota(jnp.int32, (rows, wc), 0) + (row0 - off)
+    c_img = jax.lax.broadcasted_iota(jnp.int32, (rows, wc), 1) + (col0 - off)
     ok = ((r_img >= 0) & (r_img < height) & (c_img >= 0) & (c_img < width))
     # cast before the minor-dim broadcast: Mosaic only supports non-no-op
     # minor-dim insertion for 32-bit types (not bool)
     return t * ok.astype(t.dtype)[..., None]
 
 
-def _trunk_kernel(bh: int, width: int, height: int, interpret: bool,
-                  x_hbm, w_in_ref, b_in_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                  out_ref, x_vmem, sem):
-    band = pl.program_id(0)
+def _trunk_kernel(bh, bw, height, width, cdt, interpret,
+                  x_hbm, s_hbm, w_in_ref, b_in_ref, w1_ref, b1_ref,
+                  w2_ref, b2_ref, out_ref,
+                  xbuf, sbuf, h0buf, h1buf, h0sh, sems):
+    bi = pl.program_id(0)
+    cj = pl.program_id(1)
+    ncols = pl.num_programs(1)
+    idx = bi * ncols + cj
+    wc = xbuf.shape[-2]          # tile-aligned buffer width (>= bw + 8)
+    cx = x_hbm.shape[-1]
+    cout = h0buf.shape[-1]
 
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(band * bh, bh + 6)], x_vmem, sem)
-    dma.start()
-    dma.wait()
+    def tile_dma(slot, i, j):
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * bh, bh + 6), pl.ds(j * bw, wc)],
+                xbuf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                s_hbm.at[pl.ds(i * bh, bh + 6), pl.ds(j * bw, wc)],
+                sbuf.at[slot], sems.at[slot, 1]),
+        )
 
-    h0 = _conv3x3_taps(x_vmem[...], w_in_ref[...], b_in_ref[...],
-                       bh + 4, interpret)
-    h0 = jnp.maximum(h0, 0.1 * h0)                     # lrelu 0.1
-    h0 = _mask_to_image(h0, band * bh, 2, 2, height, width)
-    h1 = jnp.maximum(_conv3x3_taps(h0, w1_ref[...], b1_ref[...],
-                                   bh + 2, interpret), 0.0)
-    h1 = _mask_to_image(h1, band * bh, 1, 1, height, width)
-    # residual: h0 at the OUTPUT's coordinates is shifted by (+2, +2) in the
-    # local valid-region indexing (two valid-conv offsets)
-    res = h0[2:2 + bh]
-    res = (pltpu.roll(res, res.shape[1] - 2, axis=1) if not interpret
-           else jnp.roll(res, -2, axis=1))
-    out = res + _conv3x3_taps(h1, w2_ref[...], b2_ref[...], bh, interpret)
-    out_ref[...] = out[:, :width, :]
+    # double-buffered input: warm up the first tile, then always kick off
+    # tile idx+1 before waiting on tile idx
+    @pl.when(idx == 0)
+    def _():
+        for dma in tile_dma(0, bi, cj):
+            dma.start()
+
+    nxt = idx + 1
+    last = nxt >= pl.num_programs(0) * ncols
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        for dma in tile_dma(nxt % 2, nxt // ncols, nxt % ncols):
+            dma.start()
+
+    slot = idx % 2
+    for dma in tile_dma(slot, bi, cj):
+        dma.wait()
+
+    row0 = bi * bh
+    col0 = cj * bw
+    bias = lambda b: b[...].astype(jnp.float32)
+
+    def ref_rows(ref, slot=None):
+        if slot is None:
+            return lambda u, n: ref[pl.ds(u, n)]
+        return lambda u, n: ref[slot, pl.ds(u, n)]
+
+    # conv_in over the two channel groups (concat never materialized)
+    acc = _conv_taps([(ref_rows(xbuf, slot), w_in_ref.at[:, :, :cx]),
+                      (ref_rows(sbuf, slot), w_in_ref.at[:, :, cx:])],
+                     bh + 4, wc, cout, interpret)
+    h0 = acc + bias(b_in_ref)
+    h0 = jnp.maximum(h0, 0.1 * h0)                       # lrelu 0.1
+    h0 = _mask_to_image(h0, row0, col0, 2, height, width)
+    h0buf[...] = h0.astype(cdt)
+    # residual operand: h0 shifted by (+2, +2) into the output frame; the
+    # column roll happens on f32 (32-bit rotates only), rounding to the
+    # same bf16 grid as h0buf
+    h0sh[...] = _roll_left_f32(h0, 2, interpret)[2:2 + bh].astype(cdt)
+
+    acc = _conv_taps([(ref_rows(h0buf), w1_ref)], bh + 2, wc, cout,
+                     interpret)
+    h1 = jnp.maximum(acc + bias(b1_ref), 0.0)            # relu
+    h1buf[...] = _mask_to_image(h1, row0, col0, 1, height,
+                                width).astype(cdt)
+
+    acc = _conv_taps([(ref_rows(h1buf), w2_ref)], bh, wc, cout, interpret)
+    out = acc + bias(b2_ref) + h0sh[...].astype(jnp.float32)
+    out_ref[...] = out[:, :bw].astype(cdt)
 
 
-@partial(jax.jit, static_argnames=("bh", "height", "interpret"))
-def _fused_trunk_padded(xp, w_in, b_in, w1, b1, w2, b2, bh, height,
-                        interpret):
-    hp, wp, _ = xp.shape
-    h = hp - 6      # band-padded height (grid extent)
-    width = wp - 6
+def _pick_tile(w, cout, dtype_bytes, budget=15 * 1024 * 1024):
+    """Choose (bh, bw) so the kernel's VMEM footprint fits the budget."""
+    sub = 16 if dtype_bytes == 2 else 8
+
+    def footprint(bh, bw):
+        wc = -(-(bw + 8) // sub) * sub
+        cpad = -(-cout // 128) * 128
+        rows = bh + 4
+        bufs = 2 * 2 * (bh + 6) * wc * 2 * cpad * dtype_bytes  # x+s, 2 slots
+        hbuf = (2 * rows + bh) * wc * cpad * dtype_bytes       # h0, h1, h0sh
+        out = 2 * bh * bw * cpad * dtype_bytes                 # pipelined out
+        # fori-carry accumulator + contrib + rolled contrib, all f32
+        live = 3 * rows * wc * cpad * 4
+        return bufs + hbuf + out + live
+
+    for bh, bw in ((32, 256), (32, 160), (16, 160), (16, 128), (8, 128),
+                   (8, 64), (8, 32)):
+        if bw <= w and footprint(bh, bw) <= budget:
+            return bh, bw
+    return 8, 32
+
+
+@partial(jax.jit, static_argnames=("bh", "bw", "height", "width",
+                                   "interpret"))
+def _fused_trunk_padded(xp, sp, w_in, b_in, w1, b1, w2, b2,
+                        bh, bw, height, width, interpret):
+    hp = xp.shape[0] - 6
     cout = w_in.shape[-1]
+    cdt = xp.dtype
+    # tile-aligned buffer width: sublane tiling is 16 for bf16, 8 for f32.
+    # Columns beyond bw+6 hold neighbor/pad data; their influence only flows
+    # rightward through the store-side tap alignment, never into the
+    # [_B, _B + bw) read-back window.
+    sub = 16 if np.dtype(cdt).itemsize == 2 else 8
+    wc = -(-(bw + 8) // sub) * sub
+    ncols = (xp.shape[1] - (wc - bw)) // bw
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(h // bh,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        grid=(hp // bh, ncols),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=pl.BlockSpec((bh, width, cout), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((bh, bw, cout), lambda i, j: (i, j, 0)),
         scratch_shapes=[
-            pltpu.VMEM((bh + 6, wp, xp.shape[-1]), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, bh + 6, wc, xp.shape[-1]), cdt),   # x slots
+            pltpu.VMEM((2, bh + 6, wc, sp.shape[-1]), cdt),   # state slots
+            pltpu.VMEM((bh + 4, wc, cout), cdt),              # h0
+            pltpu.VMEM((bh + 2, wc, cout), cdt),              # h1
+            pltpu.VMEM((bh, wc, cout), cdt),                  # h0 shifted
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     return pl.pallas_call(
-        partial(_trunk_kernel, bh, width, height, interpret),
+        partial(_trunk_kernel, bh, bw, height, width, cdt, interpret),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((h, width, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hp, ncols * bw, cout), cdt),
         interpret=interpret,
-    )(xp, w_in, b_in, w1, b1, w2, b2)
+    )(xp, sp, w_in, b_in, w1, b1, w2, b2)
 
 
-def fused_trunk(x_cat, w_in, b_in, w1, b1, w2, b2, bh: int = 16,
-                interpret: bool = False):
-    """x_cat (h, w, 2C) concatenated input; kernels (3,3,cin,cout) HWIO.
-    Returns (h, w, C).  h is padded to a band multiple internally."""
-    h, w, _ = x_cat.shape
+def fused_trunk(x, state, w_in, b_in, w1, b1, w2, b2,
+                tile=None, interpret: bool = False):
+    """Fused trunk over separate inputs: (h, w, Cx) + (h, w, Cs) -> (h, w, C)
+    with kernels (3, 3, Cx+Cs, C) / (3, 3, C, C) HWIO.  Compute dtype = the
+    input dtype (bf16 or f32); accumulation f32."""
+    h, w, cx = x.shape
+    cdt = x.dtype
+    if tile is None:
+        tile = _pick_tile(w, w_in.shape[-1], np.dtype(cdt).itemsize)
+    bh, bw = tile
+    sub = 16 if np.dtype(cdt).itemsize == 2 else 8
+    wc = -(-(bw + 8) // sub) * sub
     hp = -(-h // bh) * bh
-    xp = jnp.pad(x_cat, ((3, 3 + hp - h), (3, 3), (0, 0)))
-    out = _fused_trunk_padded(xp, w_in, b_in, w1, b1, w2, b2,
-                              bh=bh, height=h, interpret=interpret)
-    return out[:h]
+    wp = -(-w // bw) * bw
+    # width needs (ncols-1)*bw + wc total padded columns (the last tile's
+    # aligned buffer reads past wp + 6)
+    pad = ((3, 3 + hp - h), (3, (wp - bw + wc) - w - 3), (0, 0))
+    out = _fused_trunk_padded(
+        jnp.pad(x, pad), jnp.pad(state, pad),
+        w_in, b_in, w1, b1, w2, b2,
+        bh=bh, bw=bw, height=h, width=w, interpret=interpret)
+    return out[:h, :w]
 
 
-def fused_trunk_reference(x_cat, w_in, b_in, w1, b1, w2, b2):
+def fused_trunk_reference(x, state, w_in, b_in, w1, b1, w2, b2):
     """XLA reference of the same math (the unfused trunk)."""
     def conv(x, k, b):
         return jax.lax.conv_general_dilated(
             x[None], k, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))[0] + b
 
+    x_cat = jnp.concatenate([x, state], axis=-1)
     h0 = conv(x_cat, w_in, b_in)
     h0 = jnp.maximum(h0, 0.1 * h0)
     h1 = jnp.maximum(conv(h0, w1, b1), 0.0)

@@ -1,0 +1,221 @@
+"""Serving-path forward: a functional replay of the production
+FinalBidirectionAttenfusion over its params pytree.
+
+Why this exists (instead of model.apply): the serving hot path wants
+hand-placed Pallas kernels (the fused ConvResidualBlocks trunk carries
+~70% of the FLOPs — ops/fused_trunk.py) and trace-time-unrolled temporal
+loops, without threading kernel flags through every flax module.  The
+module tree stays the single source of truth for parameters and training;
+this file re-expresses only the PRODUCTION configuration of the forward
+(bidirectional, aliased backward states, EGACA at encoder 1, simpleconv
+recurrence, transpose-recurrent decoder, num_block=1), asserting on
+anything else.
+
+Exactness: with ``fused=False`` this is op-for-op the same math as
+model.apply (tested bit-comparable in tests/test_fast_forward.py); with
+``fused=True`` the three trunk convs run in one Pallas kernel whose only
+deviation is f32 accumulation order.
+
+Reference hot loop being replaced: XXNet_final_attenfusion_arch.py:172-216.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from refid_tpu.ops.fused_trunk import fused_trunk
+
+__all__ = ["fast_forward"]
+
+
+def _conv(p, x, stride=1, padding=0, slope=None, dtype=None, groups=1):
+    k = p["kernel"]
+    if dtype is not None:
+        x, k = x.astype(dtype), k.astype(dtype)
+    out = jax.lax.conv_general_dilated(
+        x, k, (stride, stride), [(padding, padding)] * 2,
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if "bias" in p:
+        b = p["bias"]
+        out = out + (b.astype(dtype) if dtype is not None else b)
+    if slope is not None:
+        out = jnp.maximum(out, out * slope)
+    return out
+
+
+def _conv_transpose_up(p, x, dtype=None):
+    k = p["kernel"]
+    if dtype is not None:
+        x, k = x.astype(dtype), k.astype(dtype)
+    out = jax.lax.conv_transpose(
+        x, k, (2, 2), "VALID", transpose_kernel=True,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    b = p["bias"]
+    return out + (b.astype(dtype) if dtype is not None else b)
+
+
+def _layernorm2d(p, x, dtype=None, eps=1e-6):
+    scale, bias = p["scale"], p["bias"]
+    if dtype is not None:
+        scale, bias = scale.astype(dtype), bias.astype(dtype)
+        x = x.astype(dtype)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _se(p, x, dtype=None):
+    w = jnp.mean(x, axis=(1, 2), keepdims=True)
+    w = jax.nn.relu(_conv(p["fc1"], w, dtype=dtype))
+    return jax.nn.sigmoid(_conv(p["fc2"], w, dtype=dtype))
+
+
+def _cast(v, dtype):
+    return v.astype(dtype) if dtype is not None else v
+
+
+def _egaca(p, event_feat, image_feat, dtype=None):
+    """CrossmodalAtten all_add=True (models/fusion.py:25-84)."""
+    dw = p["conv1"]["kernel"].shape[-1]
+    x = _layernorm2d(p["norm1"], image_feat, dtype)
+    x_e = _layernorm2d(p["norm1_e"], event_feat, dtype)
+    x = _conv(p["conv1"], x, dtype=dtype)
+    x = _conv(p["conv2"], x, padding=1, dtype=dtype, groups=dw)
+    x = jax.nn.gelu(x, approximate=False)
+    x_e = _conv(p["conv1_e"], x_e, dtype=dtype)
+    x_e = _conv(p["conv2_e"], x_e, padding=1, dtype=dtype, groups=dw)
+    x_e = jax.nn.gelu(x_e, approximate=False)
+    gate = _se(p["se_1"], x_e, dtype)
+    x, x_e = x * gate, x_e * gate
+    x = _conv(p["conv3"], jnp.concatenate([x, x_e], axis=-1), dtype=dtype)
+    y = event_feat + image_feat + x * _cast(p["beta"], dtype)
+    ffn = _conv(p["conv4"], _layernorm2d(p["norm2"], y, dtype), dtype=dtype)
+    ffn = jax.nn.gelu(ffn, approximate=False)
+    ffn = _conv(p["conv5"], ffn, dtype=dtype)
+    y = _conv(p["conv_y_side"], y, dtype=dtype)
+    return y + ffn * _cast(p["gamma"], dtype)
+
+
+def _trunk(p, x, state, dtype=None, fused=False, interpret=False):
+    """ConvResidualBlocks num_block=1 over [x, state]."""
+    ci, b0 = p["conv_in"], p["block_0"]
+    if fused:
+        assert x.shape[0] == 1, "fused serving path is single-batch"
+        out = fused_trunk(
+            _cast(x[0], dtype), _cast(state[0], dtype),
+            _cast(ci["kernel"], dtype), _cast(ci["bias"], dtype),
+            _cast(b0["conv1"]["kernel"], dtype),
+            _cast(b0["conv1"]["bias"], dtype),
+            _cast(b0["conv2"]["kernel"], dtype),
+            _cast(b0["conv2"]["bias"], dtype),
+            interpret=interpret)[None]
+        return out
+    h = _conv(ci, jnp.concatenate([x, state], axis=-1), padding=1,
+              slope=0.1, dtype=dtype)
+    h1 = jax.nn.relu(_conv(b0["conv1"], h, padding=1, dtype=dtype))
+    return h + _conv(b0["conv2"], h1, padding=1, dtype=dtype)
+
+
+def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
+               fused=False, interpret=False):
+    """RecurrentEncoderStage (models/recurrent.py:89-145), simpleconv cell."""
+    if y is None:
+        e = _conv(p["conv"]["conv"], e, padding=1, slope=0.2, dtype=dtype)
+        e = jnp.maximum(e, e * 0.2)  # ConvLayer slope + stage's extra lrelu
+    elif i in atten_at:
+        e = _egaca(p["atten"], e, y, dtype)
+    else:
+        e = _conv(p["conv"]["conv"], e + y, padding=1, slope=0.2, dtype=dtype)
+        e = jnp.maximum(e, e * 0.2)
+    e = _trunk(p["rec"]["trunk"], e, state, dtype, fused, interpret)
+    new_state = e
+    if bwd_state is not None:
+        e = _conv(p["fuse_bidir"]["conv"],
+                  jnp.concatenate([e, bwd_state], axis=-1),
+                  slope=0.2, dtype=dtype)
+    e = _conv(p["down"], e, stride=2, padding=1, dtype=dtype)
+    return e, new_state
+
+
+def fast_forward(params, cfg, x, event, *, fused=True, interpret=False):
+    """Production blur-VFI forward (aliased backward states), trace-time
+    unrolled.  x (b, h, w, img_chn) or (b, 2, h, w, c); event
+    (b, t, h, w, ev_chn).  Returns (b, t, h, w, out_chn)."""
+    assert cfg.bidirectional and cfg.aliased_backward_states
+    assert cfg.recurrent_cell == "simpleconv" and cfg.num_block == 1
+    assert cfg.decoder_type == "transpose_recurrent"
+    assert cfg.siamese_fusion is None
+    p = params["params"] if "params" in params else params
+    dt = cfg.dtype
+    atten_at = tuple(cfg.atten_fuse_at)
+    n_enc = cfg.num_encoders
+
+    if x.ndim == 5:
+        x = jnp.concatenate([x[:, i] for i in range(x.shape[1])], axis=-1)
+    b, t, h, w, _ = event.shape
+
+    def head_e(ev):
+        return _conv(p["head"], ev, padding=2, slope=0.2, dtype=dt)
+
+    # image head + encoder pyramid
+    xh = _conv(p["head_img"]["conv"], x, padding=2, slope=0.2, dtype=dt)
+    x_blocks = []
+    cur = xh
+    for i in range(n_enc):
+        pi = p[f"img_enc_{i}"]
+        o = _conv(pi["conv1"], cur, padding=1, slope=0.2, dtype=dt)
+        o = _conv(pi["conv2"], o, padding=1, slope=0.2, dtype=dt)
+        o = o + _conv(pi["identity"], cur, dtype=dt)
+        cur = _conv(pi["down"], o, stride=2, padding=1, dtype=dt)
+        x_blocks.append(cur)
+
+    zdt = dt or jnp.float32
+    enc_zero = [jnp.zeros((b, h >> i, w >> i,
+                           cfg.encoder_out_sizes[i]), zdt)
+                for i in range(n_enc)]
+
+    # backward scan — aliased mode only needs the final carry
+    states = list(enc_zero)
+    for k in range(t - 1, -1, -1):
+        e = head_e(event[:, k])
+        for i in range(n_enc):
+            y = None if i == 0 else x_blocks[i - 1]
+            e, states[i] = _enc_stage(
+                p["bwd"][f"enc_{i}"], i, atten_at, e, y, states[i], None,
+                dt, fused, interpret)
+    bwd_final = states
+
+    # forward scan + bottleneck + recurrent decoder + prediction
+    fwd_states = list(enc_zero)
+    dec_states = [jnp.zeros((b, h >> (n_enc - i - 1), w >> (n_enc - i - 1),
+                             cfg.encoder_out_sizes[n_enc - i - 1] // 2), zdt)
+                  for i in range(n_enc)]
+    outs = []
+    for k in range(t):
+        e = head_e(event[:, k])
+        e_blocks = []
+        for i in range(n_enc):
+            y = None if i == 0 else x_blocks[i - 1]
+            e, fwd_states[i] = _enc_stage(
+                p["fwd"][f"enc_{i}"], i, atten_at, e, y, fwd_states[i],
+                bwd_final[i], dt, fused, interpret)
+            e_blocks.append(e)
+        for j in range(cfg.num_residual_blocks):
+            pr = p["fwd"][f"res_{j}"]
+            inp = e + x_blocks[-1] if j == 0 else e
+            o = jax.nn.relu(_conv(pr["conv1"], inp, padding=1, dtype=dt))
+            o = _conv(pr["conv2"], o, padding=1, dtype=dt)
+            e = jax.nn.relu(o + inp)
+        for i in range(n_enc):
+            pd = p["fwd"][f"dec_{i}"]
+            skip = e_blocks[n_enc - i - 1]
+            up = _conv_transpose_up(pd["up"], e + skip, dt)
+            e = _trunk(pd["trunk"], up, dec_states[i], dt, fused, interpret)
+            dec_states[i] = e
+        out = _conv(p["fwd"]["pred"]["conv"], e + xh, padding=1, dtype=dt)
+        outs.append(out)
+    return jnp.stack(outs, axis=1)

@@ -1,0 +1,82 @@
+"""End-to-end serving bench: flagship blur-VFI 11+1 at 1280x720, comparing
+the flax unrolled path against the functional fast_forward (with and
+without the fused Pallas trunk).
+
+Usage: python scripts/bench_e2e.py [model|fast|fused ...] [--t N]
+"""
+
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/refid_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+from refid_tpu.serve import fast_forward
+
+
+def timed(fn, params, x, ev, iters=8):
+    @partial(jax.jit, static_argnums=(3,))
+    def loop(params, x, ev, iters):
+        def body(_, carry):
+            xi, s = carry
+            out = fn(params, xi, ev)
+            s = jnp.mean(out.astype(jnp.float32))
+            xi = (xi.astype(jnp.float32) + s * 1e-12).astype(xi.dtype)
+            return (xi, s)
+        return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0)))[1]
+
+    float(loop(params, x, ev, 1))
+    t0 = time.perf_counter()
+    float(loop(params, x, ev, 1))
+    dt1 = time.perf_counter() - t0
+    float(loop(params, x, ev, iters + 1))
+    t0 = time.perf_counter()
+    float(loop(params, x, ev, iters + 1))
+    return (time.perf_counter() - t0 - dt1) / iters
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    t = 23
+    if "--t" in sys.argv:
+        t = int(sys.argv[sys.argv.index("--t") + 1])
+    which = args or ["model", "fused"]
+
+    cfg = RefidConfig(dtype=jnp.bfloat16, unroll=True)
+    model = FinalBidirectionAttenfusion(cfg)
+    b, h, w = 1, 720, 1280
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(b, h, w, cfg.img_chn).astype(np.float32))
+    ev = jnp.asarray(rng.rand(b, t, h, w, cfg.ev_chn).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, cfg.img_chn)),
+                        jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
+
+    fns = {
+        "model": model.apply,
+        "fast": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False),
+        "fused": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=True),
+    }
+    results = {}
+    for name in which:
+        dt = timed(fns[name], params, x, ev)
+        results[name] = dt
+        print(f"{name:6s} t={t}: {dt*1e3:8.1f} ms/forward "
+              f"({t/dt:6.1f} frames/s)", flush=True)
+    if len(results) > 1:
+        names = list(results)
+        print(f"speedup {names[-1]} vs {names[0]}: "
+              f"{results[names[0]]/results[names[-1]]:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

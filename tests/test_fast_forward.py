@@ -1,0 +1,49 @@
+"""fast_forward (the functional serving path) vs model.apply."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+from refid_tpu.serve import fast_forward
+
+
+def _setup(seed=0, base=8, h=24, w=32, t=4):
+    cfg = RefidConfig(img_chn=6, ev_chn=2, base_num_channels=base,
+                      num_encoders=3, num_block=1, num_residual_blocks=2)
+    model = FinalBidirectionAttenfusion(cfg)
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(1, h, w, cfg.img_chn).astype(np.float32))
+    ev = jnp.asarray(rng.randn(1, t, h, w, cfg.ev_chn).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(seed), x, ev)
+    return cfg, model, params, x, ev
+
+
+def test_fast_forward_matches_model():
+    cfg, model, params, x, ev = _setup()
+    want = np.asarray(model.apply(params, x, ev))
+    got = np.asarray(fast_forward(params, cfg, x, ev, fused=False))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_fast_forward_fused_matches_model():
+    cfg, model, params, x, ev = _setup(seed=1)
+    want = np.asarray(model.apply(params, x, ev))
+    got = np.asarray(fast_forward(params, cfg, x, ev, fused=True,
+                                  interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_fast_forward_bf16_close_to_f32():
+    import dataclasses
+    cfg, model, params, x, ev = _setup(seed=2, t=3)
+    want = np.asarray(model.apply(params, x, ev)).astype(np.float32)
+    cfg16 = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    got = np.asarray(fast_forward(params, cfg16, x, ev, fused=True,
+                                  interpret=True)).astype(np.float32)
+    # bf16 serving tolerance (PERFORMANCE.md: ~3e-3 deviation at production
+    # scale; random-init tiny nets are noisier)
+    assert np.abs(got - want).max() < 0.1
