@@ -244,6 +244,32 @@ def fused_trunk(x, state, w_in, b_in, w1, b1, w2, b2,
     input dtype (bf16 or f32); accumulation f32."""
     h, w, cx = x.shape
     cdt = x.dtype
+    cout = w_in.shape[-1]
+    # Mosaic manual DMA slices of HBM memrefs must match the (8/16, 128)
+    # tiling, so channel dims are lane-padded to 128 with zeros (exact math:
+    # zero weights in, zero activations out; K/N below 128 waste the same
+    # MXU columns anyway).
+    lane = 128
+    if cx < lane or cout < lane:
+        def cpadded(a, n):
+            return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, n - a.shape[-1])])
+        cs = state.shape[-1]
+        cxp = max(cx, lane)
+        csp = max(cs, lane)
+        coutp = max(cout, lane)
+        w_x = jnp.pad(w_in[:, :, :cx],
+                      ((0, 0), (0, 0), (0, cxp - cx), (0, coutp - cout)))
+        w_s = jnp.pad(w_in[:, :, cx:],
+                      ((0, 0), (0, 0), (0, csp - cs), (0, coutp - cout)))
+        out = fused_trunk(
+            cpadded(x, cxp), cpadded(state, csp),
+            jnp.concatenate([w_x, w_s], axis=2), cpadded(b_in, coutp),
+            jnp.pad(w1, ((0, 0), (0, 0), (0, coutp - cout),
+                         (0, coutp - cout))), cpadded(b1, coutp),
+            jnp.pad(w2, ((0, 0), (0, 0), (0, coutp - cout),
+                         (0, coutp - cout))), cpadded(b2, coutp),
+            tile=tile, interpret=interpret)
+        return out[..., :cout]
     if tile is None:
         tile = _pick_tile(w, w_in.shape[-1], np.dtype(cdt).itemsize)
     bh, bw = tile

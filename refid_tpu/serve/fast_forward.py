@@ -103,6 +103,11 @@ def _egaca(p, event_feat, image_feat, dtype=None):
 def _trunk(p, x, state, dtype=None, fused=False, interpret=False):
     """ConvResidualBlocks num_block=1 over [x, state]."""
     ci, b0 = p["conv_in"], p["block_0"]
+    if fused == "aligned" and x.shape[-1] < 128 and not interpret:
+        # lane-unaligned trunks fall back to XLA (the kernel would have to
+        # channel-pad its inputs, which costs an extra full-res buffer per
+        # unrolled step — HBM-prohibitive at t=23)
+        fused = False
     if fused:
         assert x.shape[0] == 1, "fused serving path is single-batch"
         out = fused_trunk(

@@ -55,8 +55,12 @@ def main():
     model = FinalBidirectionAttenfusion(cfg)
     b, h, w = 1, 720, 1280
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(b, h, w, cfg.img_chn).astype(np.float32))
-    ev = jnp.asarray(rng.rand(b, t, h, w, cfg.ev_chn).astype(np.float32))
+    # bf16 inputs: identical serving semantics (the first conv casts to the
+    # compute dtype regardless) and ~270 MB less HBM for the 23-bin stack
+    x = jnp.asarray(rng.rand(b, h, w, cfg.img_chn).astype(np.float32),
+                    jnp.bfloat16)
+    ev = jnp.asarray(rng.rand(b, t, h, w, cfg.ev_chn).astype(np.float32),
+                     jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 64, cfg.img_chn)),
                         jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
@@ -65,6 +69,8 @@ def main():
         "model": model.apply,
         "fast": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False),
         "fused": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=True),
+        "fused_aligned": lambda p, x, ev: fast_forward(
+            p, cfg, x, ev, fused="aligned"),
     }
     results = {}
     for name in which:
