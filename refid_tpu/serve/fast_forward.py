@@ -126,30 +126,107 @@ def _trunk(p, x, state, dtype=None, fused=False, interpret=False):
 
 
 def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
-               fused=False, interpret=False):
-    """RecurrentEncoderStage (models/recurrent.py:89-145), simpleconv cell."""
+               fused=False, interpret=False, opt=False):
+    """RecurrentEncoderStage (models/recurrent.py:89-145), simpleconv cell.
+
+    ``opt`` enables two profile-guided algebraic rewrites (exact math):
+      * the stage's chained lrelus — ConvLayer's slope-0.2 epilogue followed
+        by the stage's extra leaky_relu — collapse to ONE slope-0.04
+        epilogue (max-of-max identity), removing a standalone full-res
+        elementwise pass per stage per direction;
+      * fuse_bidir's 1x1 conv over concat([e, bwd]) splits into two matmuls
+        summed (no concat materialization) — for a 1x1 there is no tap
+        structure to lose, unlike the 3x3 case PERFORMANCE.md rejected.
+    """
     if y is None:
-        e = _conv(p["conv"]["conv"], e, padding=1, slope=0.2, dtype=dtype)
-        e = jnp.maximum(e, e * 0.2)  # ConvLayer slope + stage's extra lrelu
+        if opt:
+            e = _conv(p["conv"]["conv"], e, padding=1, slope=0.04,
+                      dtype=dtype)
+        else:
+            e = _conv(p["conv"]["conv"], e, padding=1, slope=0.2,
+                      dtype=dtype)
+            e = jnp.maximum(e, e * 0.2)  # ConvLayer + stage's extra lrelu
     elif i in atten_at:
         e = _egaca(p["atten"], e, y, dtype)
     else:
-        e = _conv(p["conv"]["conv"], e + y, padding=1, slope=0.2, dtype=dtype)
-        e = jnp.maximum(e, e * 0.2)
+        if opt:
+            e = _conv(p["conv"]["conv"], e + y, padding=1, slope=0.04,
+                      dtype=dtype)
+        else:
+            e = _conv(p["conv"]["conv"], e + y, padding=1, slope=0.2,
+                      dtype=dtype)
+            e = jnp.maximum(e, e * 0.2)
     e = _trunk(p["rec"]["trunk"], e, state, dtype, fused, interpret)
     new_state = e
     if bwd_state is not None:
-        e = _conv(p["fuse_bidir"]["conv"],
-                  jnp.concatenate([e, bwd_state], axis=-1),
-                  slope=0.2, dtype=dtype)
+        pf = p["fuse_bidir"]["conv"]
+        if opt:
+            k = pf["kernel"]  # (1, 1, 2C, C)
+            c = e.shape[-1]
+            o = _conv({"kernel": k[:, :, :c]}, e, dtype=dtype)
+            o = o + _conv({"kernel": k[:, :, c:], "bias": pf["bias"]},
+                          bwd_state, dtype=dtype)
+            e = jnp.maximum(o, o * 0.2)
+        else:
+            e = _conv(pf, jnp.concatenate([e, bwd_state], axis=-1),
+                      slope=0.2, dtype=dtype)
     e = _conv(p["down"], e, stride=2, padding=1, dtype=dtype)
     return e, new_state
 
 
-def fast_forward(params, cfg, x, event, *, fused=True, interpret=False):
+def _trunk_folded(p, x_f, s_f, r, dtype=None):
+    """ConvResidualBlocks over width-fold-r inputs (exact reparameterization
+    — serve/packing.py)."""
+    from refid_tpu.serve.packing import conv_s2d, fold_concat
+    ci, b0 = p["conv_in"], p["block_0"]
+    cat = fold_concat([x_f, s_f], r)
+    h = conv_s2d(cat, ci["kernel"], ci["bias"], (1, r), dtype)
+    h = jnp.maximum(h, 0.1 * h)
+    h1 = jax.nn.relu(conv_s2d(h, b0["conv1"]["kernel"],
+                              b0["conv1"]["bias"], (1, r), dtype))
+    return h + conv_s2d(h1, b0["conv2"]["kernel"], b0["conv2"]["bias"],
+                        (1, r), dtype)
+
+
+def _enc_stage0_folded(p, e_f2, state_f2, bwd_f2, dtype=None):
+    """Scale-0 encoder stage entirely in width-fold-2 (64ch -> 128 lanes):
+    the full-resolution 32/64-channel tensors that pay 2-4x lane-padding
+    tax in HBM never exist.  Exact math; the chained lrelus collapse to one
+    slope-0.04 epilogue and fuse_bidir runs as two concat-free matmuls."""
+    from refid_tpu.serve.packing import conv_s2d, down_conv_folded
+    pc = p["conv"]["conv"]
+    e = conv_s2d(e_f2, pc["kernel"], pc["bias"], (1, 2), dtype)
+    e = jnp.maximum(e, 0.04 * e)
+    e = _trunk_folded(p["rec"]["trunk"], e, state_f2, 2, dtype)
+    new_state = e
+    if bwd_f2 is not None:
+        pf = p["fuse_bidir"]["conv"]
+        k = pf["kernel"]
+        c = k.shape[-1]
+        o = conv_s2d(e, k[:, :, :c], None, (1, 2), dtype)
+        o = o + conv_s2d(bwd_f2, k[:, :, c:], pf["bias"], (1, 2), dtype)
+        e = jnp.maximum(o, o * 0.2)
+    e = down_conv_folded(e, p["down"]["kernel"], rw=2, dtype=dtype)
+    return e, new_state
+
+
+def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
+                 interpret=False):
     """Production blur-VFI forward (aliased backward states), trace-time
     unrolled.  x (b, h, w, img_chn) or (b, 2, h, w, c); event
-    (b, t, h, w, ev_chn).  Returns (b, t, h, w, out_chn)."""
+    (b, t, h, w, ev_chn).  Returns (b, t, h, w, out_chn).
+
+    ``packed=True`` (the serving default) applies the two profile-guided
+    lane-padding fixes (scripts/profile_forward.py findings):
+
+      * The 2-channel event head conv runs 20x off its roofline because a
+        (h, w, 2) tensor pads its lane dim 64x in HBM.  Instead, ALL t head
+        features are computed in ONE space-to-depth-reparameterized conv
+        over the packed event stack (exact math, serve/packing.py) and
+        cached packed — also de-duplicating the head work the reference
+        re-does per scan direction (XXNet_final_attenfusion_arch.py:172/185).
+      * The 3-channel prediction conv similarly runs s2d-packed.
+    """
     assert cfg.bidirectional and cfg.aliased_backward_states
     assert cfg.recurrent_cell == "simpleconv" and cfg.num_block == 1
     assert cfg.decoder_type == "transpose_recurrent"
@@ -161,10 +238,26 @@ def fast_forward(params, cfg, x, event, *, fused=True, interpret=False):
 
     if x.ndim == 5:
         x = jnp.concatenate([x[:, i] for i in range(x.shape[1])], axis=-1)
-    b, t, h, w, _ = event.shape
+    b, t, h, w, ev_c = event.shape
 
-    def head_e(ev):
-        return _conv(p["head"], ev, padding=2, slope=0.2, dtype=dt)
+    if packed:
+        from refid_tpu.serve.packing import (space_to_depth, depth_to_space,
+                                             conv_s2d, s2d_to_wfold,
+                                             conv_transpose_up_fold4)
+        evp = space_to_depth(
+            event.reshape(b * t, h, w, ev_c), 2)          # (bt, h/2, w/2, 8)
+        hf = conv_s2d(evp, p["head"]["kernel"], p["head"]["bias"], 2, dt)
+        hf = jnp.maximum(hf, 0.2 * hf)
+        head_cache = hf.reshape(b, t, h // 2, w // 2, hf.shape[-1])
+
+        def head_e(k):
+            # straight to the width-fold-2 scale-0 pipeline: the full-res
+            # 32-channel head tensor is never materialized
+            return s2d_to_wfold(head_cache[:, k])
+    else:
+        def head_e(k):
+            return _conv(p["head"], event[:, k], padding=2, slope=0.2,
+                         dtype=dt)
 
     # image head + encoder pyramid
     xh = _conv(p["head_img"]["conv"], x, padding=2, slope=0.2, dtype=dt)
@@ -183,15 +276,24 @@ def fast_forward(params, cfg, x, event, *, fused=True, interpret=False):
                            cfg.encoder_out_sizes[i]), zdt)
                 for i in range(n_enc)]
 
+    if packed:
+        # scale-0 states live width-folded (b, h, w/2, 2C)
+        enc_zero[0] = jnp.zeros((b, h, w // 2,
+                                 2 * cfg.encoder_out_sizes[0]), zdt)
+
     # backward scan — aliased mode only needs the final carry
     states = list(enc_zero)
     for k in range(t - 1, -1, -1):
-        e = head_e(event[:, k])
+        e = head_e(k)
         for i in range(n_enc):
             y = None if i == 0 else x_blocks[i - 1]
-            e, states[i] = _enc_stage(
-                p["bwd"][f"enc_{i}"], i, atten_at, e, y, states[i], None,
-                dt, fused, interpret)
+            if packed and i == 0:
+                e, states[0] = _enc_stage0_folded(
+                    p["bwd"]["enc_0"], e, states[0], None, dt)
+            else:
+                e, states[i] = _enc_stage(
+                    p["bwd"][f"enc_{i}"], i, atten_at, e, y, states[i],
+                    None, dt, fused, interpret, opt=packed)
     bwd_final = states
 
     # forward scan + bottleneck + recurrent decoder + prediction
@@ -199,15 +301,23 @@ def fast_forward(params, cfg, x, event, *, fused=True, interpret=False):
     dec_states = [jnp.zeros((b, h >> (n_enc - i - 1), w >> (n_enc - i - 1),
                              cfg.encoder_out_sizes[n_enc - i - 1] // 2), zdt)
                   for i in range(n_enc)]
+    if packed:
+        dec_states[n_enc - 1] = jnp.zeros(
+            (b, h, w // 4, 4 * cfg.encoder_out_sizes[0] // 2), zdt)
+        xh_f4 = space_to_depth(xh, (1, 4))
     outs = []
     for k in range(t):
-        e = head_e(event[:, k])
+        e = head_e(k)
         e_blocks = []
         for i in range(n_enc):
             y = None if i == 0 else x_blocks[i - 1]
-            e, fwd_states[i] = _enc_stage(
-                p["fwd"][f"enc_{i}"], i, atten_at, e, y, fwd_states[i],
-                bwd_final[i], dt, fused, interpret)
+            if packed and i == 0:
+                e, fwd_states[0] = _enc_stage0_folded(
+                    p["fwd"]["enc_0"], e, fwd_states[0], bwd_final[0], dt)
+            else:
+                e, fwd_states[i] = _enc_stage(
+                    p["fwd"][f"enc_{i}"], i, atten_at, e, y, fwd_states[i],
+                    bwd_final[i], dt, fused, interpret, opt=packed)
             e_blocks.append(e)
         for j in range(cfg.num_residual_blocks):
             pr = p["fwd"][f"res_{j}"]
@@ -218,9 +328,27 @@ def fast_forward(params, cfg, x, event, *, fused=True, interpret=False):
         for i in range(n_enc):
             pd = p["fwd"][f"dec_{i}"]
             skip = e_blocks[n_enc - i - 1]
-            up = _conv_transpose_up(pd["up"], e + skip, dt)
-            e = _trunk(pd["trunk"], up, dec_states[i], dt, fused, interpret)
+            if packed and i == n_enc - 1:
+                # full-res decoder stage in width-fold-4 (32ch -> 128 lanes)
+                up = conv_transpose_up_fold4(
+                    e + skip, pd["up"]["kernel"], pd["up"]["bias"], dt)
+                e = _trunk_folded(pd["trunk"], up, dec_states[i], 4, dt)
+            else:
+                up = _conv_transpose_up(pd["up"], e + skip, dt)
+                e = _trunk(pd["trunk"], up, dec_states[i], dt, fused,
+                           interpret)
             dec_states[i] = e
-        out = _conv(p["fwd"]["pred"]["conv"], e + xh, padding=1, dtype=dt)
-        outs.append(out)
-    return jnp.stack(outs, axis=1)
+        if packed:
+            pk = p["fwd"]["pred"]["conv"]
+            outs.append(conv_s2d(e + xh_f4, pk["kernel"], pk["bias"],
+                                 (1, 4), dt))
+        else:
+            outs.append(_conv(p["fwd"]["pred"]["conv"], e + xh, padding=1,
+                              dtype=dt))
+    out = jnp.stack(outs, axis=1)
+    if packed:
+        oc = out.shape[-1]
+        out = depth_to_space(
+            out.reshape(b * t, h, w // 4, oc), (1, 4)).reshape(
+                b, t, h, w, oc // 4)
+    return out

@@ -1,0 +1,218 @@
+"""Space-to-depth conv reparameterization for lane-padding pathologies.
+
+TPU HBM layouts pad the channel (lane) dim to 128: a (720, 1280, 2) bf16
+event frame physically occupies 64x its logical bytes, and the profiler
+shows the 2-channel head conv running 20x off its roofline because of it
+(scripts/profile_forward.py).  For any stride-1 conv whose input or output
+channels are tiny, the EXACT same math can run on a space-to-depth packed
+tensor (r*r channels per packed pixel) with a transformed kernel:
+
+    y = conv(x, w)  <=>  s2d_r(y) = conv(s2d_r(x), W_r, padding=p_r)
+
+where W_r[(A,B), (a,b,ci), (c,d,co)] gathers the taps of w whose original
+offset lands in packed cell (A, B) at phase (a, b).  This multiplies MACs
+(kernel footprint grows) but removes the 64x/43x padded traffic — a large
+net win exactly where channels are small (event head: 2ch, prediction:
+3ch), and a loss where channels are already >=64 (do NOT use it there).
+
+Used by the packed serving mode in fast_forward.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["space_to_depth", "depth_to_space", "s2d_conv_kernel",
+           "conv_s2d"]
+
+
+def _rr(r):
+    return (r, r) if isinstance(r, int) else tuple(r)
+
+
+def space_to_depth(x, r=2):
+    """(b, h, w, c) -> (b, h/rh, w/rw, rh*rw*c); channel order (a, b, ci).
+    ``r`` may be an int or (rh, rw) — (1, rw) is a pure width fold, which
+    reaches 128-lane density without folding rows."""
+    rh, rw = _rr(r)
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // rh, rh, w // rw, rw, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // rh, w // rw,
+                                                 rh * rw * c)
+
+
+def depth_to_space(x, r=2):
+    rh, rw = _rr(r)
+    b, hp, wp, cp = x.shape
+    c = cp // (rh * rw)
+    x = x.reshape(b, hp, wp, rh, rw, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * rh, wp * rw, c)
+
+
+def s2d_conv_kernel(w, r=2):
+    """Transform an HWIO stride-1 conv kernel (kh, kw, ci, co) with
+    symmetric padding (kh//2, kw//2) into its s2d_r equivalent.
+
+    Returns (W, padding): W is (KH, KW, rh*rw*ci, rh*rw*co), padding the
+    explicit (lo, hi) pairs for the packed conv.
+    """
+    rh, rw = _rr(r)
+    kh, kw, ci, co = w.shape
+    ph, pw = kh // 2, kw // 2
+
+    def taps(k, p, r_):
+        offs = [(c_, u, (c_ + u - p) // r_, (c_ + u - p) % r_)
+                for c_ in range(r_) for u in range(k)]
+        amin = min(o[2] for o in offs)
+        amax = max(o[2] for o in offs)
+        return offs, amin, amax
+
+    h_offs, a_min, a_max = taps(kh, ph, rh)
+    w_offs, b_min, b_max = taps(kw, pw, rw)
+    KH = a_max - a_min + 1
+    KW = b_max - b_min + 1
+
+    # jnp so ``w`` may be a tracer (params under jit); the scatter-adds are
+    # tiny kernel-sized ops, folded or negligible at runtime
+    W = jnp.zeros((KH, KW, rh * rw * ci, rh * rw * co), w.dtype)
+    for c_, u, A, a in h_offs:
+        for d_, v, B, b in w_offs:
+            W = W.at[A - a_min, B - b_min,
+                     (a * rw + b) * ci:(a * rw + b + 1) * ci,
+                     (c_ * rw + d_) * co:(c_ * rw + d_ + 1) * co].add(
+                         w[u, v])
+    padding = ((-a_min, a_max), (-b_min, b_max))
+    return W, padding
+
+
+def conv_s2d(xp, w, bias=None, r=2, dtype=None):
+    """Apply a stride-1 conv to an s2d_r-packed input, returning the packed
+    output.  ``w`` is the ORIGINAL (kh, kw, ci, co) kernel."""
+    W, padding = s2d_conv_kernel(w, r)
+    if dtype is not None:
+        xp, W = xp.astype(dtype), W.astype(dtype)
+    out = jax.lax.conv_general_dilated(
+        xp, W, (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        rh, rw = _rr(r)
+        b_packed = jnp.tile(bias, rh * rw)
+        out = out + (b_packed.astype(dtype) if dtype is not None
+                     else b_packed)
+    return out
+
+
+def fold_down_conv_kernel(w, rw=2, stride=2):
+    """Stride-``stride`` conv (e.g. the 4x4/2 downsample) consuming a
+    width-folded (1, rw) input and emitting an UNFOLDED output.
+
+    Shift-invariance holds because stride == rw: out col q' reads orig cols
+    [stride*q' - p .. + kw-1], whose fold-rw cells sit at fixed offsets of
+    q'.  Returns (W, padding) with W (kh, KW, rw*ci, co).
+    """
+    kh, kw, ci, co = w.shape
+    assert stride == rw, "folded stride conv requires stride == rw"
+    # reference down conv is k=4 s=2 p=1 (models/layers.py conv2d(..., 4, 2,
+    # 1)); odd k uses symmetric k//2 padding
+    pw = 1 if kw == 4 else kw // 2
+    offs = []
+    for v in range(kw):
+        r_ = v - pw  # orig col offset relative to stride*q'
+        offs.append((v, r_ // rw, r_ % rw))
+    bmin = min(o[1] for o in offs)
+    bmax = max(o[1] for o in offs)
+    KW = bmax - bmin + 1
+    W = jnp.zeros((kh, KW, rw * ci, co), w.dtype)
+    for v, B, b in offs:
+        W = W.at[:, B - bmin, b * ci:(b + 1) * ci, :].add(w[:, v])
+    # height stays an ordinary strided dim with its usual padding
+    padding = ((1, 1) if kh == 4 else (kh // 2, kh // 2), (-bmin, bmax))
+    return W, padding
+
+
+def down_conv_folded(xf, w, rw=2, dtype=None):
+    """Apply the reference 4x4/2 (or k/2) downsample conv to a width-folded
+    input, producing the unfolded half-resolution output."""
+    W, padding = fold_down_conv_kernel(w, rw=rw, stride=2)
+    if dtype is not None:
+        xf, W = xf.astype(dtype), W.astype(dtype)
+    return jax.lax.conv_general_dilated(
+        xf, W, (2, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def s2d_to_wfold(x):
+    """(b, h/2, w/2, 4c) s2d(2,2) -> (b, h, w/2, 2c) width-fold-2.
+
+    Channel order (a, b, ci): row phase a moves back to rows, column phase
+    b stays folded.  One transpose; used to serve the packed head cache to
+    the fold-2 pipeline without materializing a full-res 32-ch tensor.
+    """
+    b, hp, wp, cp = x.shape
+    c = cp // 4
+    x = x.reshape(b, hp, wp, 2, 2 * c)
+    return x.transpose(0, 1, 3, 2, 4).reshape(b, hp * 2, wp, 2 * c)
+
+
+def wfold_refold(x, r_from, r_to):
+    """Change width-fold density: (b, h, w/rf, rf*c) -> (b, h, w/rt, rt*c).
+    Pure reshape when rf == rt; lane<->width relayout otherwise."""
+    b, h, wp, cp = x.shape
+    c = cp // r_from
+    x = x.reshape(b, h, wp * r_from, c)   # unfold (relayout)
+    return space_to_depth(x, (1, r_to))
+
+
+def fold_concat(parts, r):
+    """Channel-concat width-folded tensors in PHASE-MAJOR order, so a
+    folded kernel built from the concatenated weight lines up: output
+    channels are [(phase 0, part0), (phase 0, part1), (phase 1, part0), ...]
+    """
+    cs = [p.shape[-1] // r for p in parts]
+    out = []
+    for ph in range(r):
+        for p_, c in zip(parts, cs):
+            out.append(p_[..., ph * c:(ph + 1) * c])
+    return jnp.concatenate(out, axis=-1)
+
+
+def up_fold4_kernel(k_param):
+    """Build the (1, 2, ci, 2*4*co) kernel for the fused 2x2/2 transposed
+    conv producing a width-fold-4 full-res output (see conv_transpose_up
+    semantics, models/layers.py:221-238: transpose_kernel=True, param shape
+    (kh, kw, out, in)).  Output channel order (row-phase r, col-phase d,
+    co) so a reshape/transpose interleaves rows afterwards."""
+    kh, kw, co, ci = k_param.shape
+    assert kh == kw == 2
+    W = jnp.zeros((1, 2, ci, 2 * 4 * co), k_param.dtype)
+    for r_ in range(2):
+        for d in range(4):
+            s, wphase = d // 2, d % 2
+            # empirically pinned (tests): out[2p+r, 2q+s] uses
+            # param[r, s].T — channels swapped, spatials NOT flipped
+            W = W.at[0, s, :, (r_ * 4 + d) * co:(r_ * 4 + d + 1) * co].set(
+                jnp.transpose(k_param[r_, wphase]))
+    return W
+
+
+def conv_transpose_up_fold4(x, k_param, bias, dtype=None):
+    """2x2 stride-2 transposed conv from (b, H, W, ci) to the width-fold-4
+    representation (b, 2H, W/2, 4*co) of the (2H, 2W, co) output — the
+    full-res low-channel tensor is never materialized."""
+    W = up_fold4_kernel(k_param)
+    if dtype is not None:
+        x, W = x.astype(dtype), W.astype(dtype)
+    z = jax.lax.conv_general_dilated(
+        x, W, (1, 2), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    b, hh, wq, cc = z.shape
+    co4 = cc // 2
+    z = z.reshape(b, hh, wq, 2, co4).transpose(0, 1, 3, 2, 4)
+    z = z.reshape(b, 2 * hh, wq, co4)
+    if bias is not None:
+        bp = jnp.tile(bias, 4)
+        z = z + (bp.astype(dtype) if dtype is not None else bp)
+    return z

@@ -67,10 +67,14 @@ def main():
 
     fns = {
         "model": model.apply,
-        "fast": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False),
-        "fused": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=True),
+        "fast": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
+                                              packed=False),
+        "packed": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
+                                                packed=True),
+        "fused": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=True,
+                                               packed=False),
         "fused_aligned": lambda p, x, ev: fast_forward(
-            p, cfg, x, ev, fused="aligned"),
+            p, cfg, x, ev, fused="aligned", packed=False),
     }
     results = {}
     for name in which:

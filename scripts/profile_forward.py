@@ -26,6 +26,110 @@ def categorize(name: str) -> str:
     return "other"
 
 
+def _fields(msg):
+    """Minimal protobuf wire decoder: yields (field, wire, value)."""
+    i = 0
+    n = len(msg)
+    while i < n:
+        key = 0
+        shift = 0
+        while True:
+            b = msg[i]; i += 1
+            key |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v = 0; shift = 0
+            while True:
+                b = msg[i]; i += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+        elif wire == 2:
+            ln = 0; shift = 0
+            while True:
+                b = msg[i]; i += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            v = msg[i:i + ln]; i += ln
+        elif wire == 1:
+            v = msg[i:i + 8]; i += 8
+        elif wire == 5:
+            v = msg[i:i + 4]; i += 4
+        else:
+            raise ValueError(f"wire {wire}")
+        yield field, wire, v
+
+
+def parse_xplane(path):
+    """Aggregate device-plane 'XLA Ops' event durations by op name.
+
+    xplane.proto: XSpace{planes=1} XPlane{name=2, lines=3, event_metadata=4
+    (map<int64, XEventMetadata{id=1, name=2}>)} XLine{name=2, events=4}
+    XEvent{metadata_id=1, duration_ps=3, num_occurrences=5}.
+    """
+    data = open(path, "rb").read()
+    per_op = defaultdict(float)
+    per_cat = defaultdict(float)
+    total = 0.0
+    for f, w, plane in _fields(data):
+        if f != 1 or w != 2:
+            continue
+        pname = b""
+        metas = {}
+        lines = []
+        for f2, w2, v2 in _fields(plane):
+            if f2 == 2:
+                pname = v2
+            elif f2 == 3:
+                lines.append(v2)
+            elif f2 == 4:  # map entry {key=1 varint, value=2 XEventMetadata}
+                k = None
+                name = b""
+                for f3, w3, v3 in _fields(v2):
+                    if f3 == 1 and w3 == 0:
+                        k = v3
+                    elif f3 == 2 and w3 == 2:
+                        for f4, w4, v4 in _fields(v3):
+                            if f4 == 2 and w4 == 2:
+                                name = v4
+                metas[k] = name.decode(errors="replace")
+        if b"TPU" not in pname:
+            continue
+        for line in lines:
+            lname = b""
+            events = []
+            for f3, w3, v3 in _fields(line):
+                if f3 == 2:
+                    lname = v3
+                elif f3 == 4:
+                    events.append(v3)
+            if lname != b"XLA Ops":
+                continue
+            for evb in events:
+                mid = 0
+                dur = 0
+                occ = 1
+                for f4, w4, v4 in _fields(evb):
+                    if f4 == 1 and w4 == 0:
+                        mid = v4
+                    elif f4 == 3 and w4 == 0:
+                        dur = v4
+                    elif f4 == 5 and w4 == 0:
+                        occ = v4
+                name = metas.get(mid, f"#{mid}")
+                ms = dur / 1e9
+                per_op[name] += ms
+                per_cat[categorize(name)] += ms
+                total += ms
+    return per_op, per_cat, total
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("which", nargs="?", default="fused_aligned")
@@ -54,10 +158,14 @@ def main():
 
     fns = {
         "model": model.apply,
-        "fast": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False),
-        "fused": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=True),
+        "fast": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
+                                              packed=False),
+        "packed": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
+                                                packed=True),
+        "fused": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=True,
+                                               packed=False),
         "fused_aligned": lambda p, x, ev: fast_forward(
-            p, cfg, x, ev, fused="aligned"),
+            p, cfg, x, ev, fused="aligned", packed=False),
     }
     fn = jax.jit(fns[args.which])
     out = fn(params, x, ev)
@@ -68,35 +176,12 @@ def main():
         out = fn(params, x, ev)
         float(jnp.mean(out.astype(jnp.float32)))
 
-    # parse the newest xplane dump
+    # parse the newest xplane dump with a minimal protobuf wire decoder
+    # (no xplane_pb2 module ships in this environment)
     paths = sorted(glob.glob(os.path.join(
         args.dir, "**", "*.xplane.pb"), recursive=True), key=os.path.getmtime)
     assert paths, "no xplane produced"
-    from tensorflow.core.profiler.protobuf import xplane_pb2
-    space = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        space.ParseFromString(f.read())
-
-    per_op = defaultdict(float)
-    per_cat = defaultdict(float)
-    total = 0.0
-    for plane in space.planes:
-        if "TPU" not in plane.name or "XLA Ops" not in str(
-                [l.name for l in plane.lines]):
-            # device plane has lines like "XLA Ops"
-            pass
-        if "/device:TPU" not in plane.name and "TPU" not in plane.name:
-            continue
-        ev_meta = plane.event_metadata
-        for line in plane.lines:
-            if line.name not in ("XLA Ops",):
-                continue
-            for evt in line.events:
-                name = ev_meta[evt.metadata_id].name
-                dur = evt.duration_ps / 1e9  # ms
-                per_op[name] += dur
-                per_cat[categorize(name)] += dur
-                total += dur
+    per_op, per_cat, total = parse_xplane(paths[-1])
 
     print(f"== {args.which} t={t}: total device op time {total:.1f} ms ==")
     print("-- by category --")
