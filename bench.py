@@ -40,18 +40,23 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+    from refid_tpu.serve import fast_forward
 
     # Serving config: bf16 compute (deviates from the f32 forward by 65 dB,
-    # <0.01 dB end-to-end — PERFORMANCE.md) and trace-time-unrolled temporal
-    # loop (identical math to the scanned model, tested exact in
-    # tests/test_model_parity.py; lets XLA pick one layout for all t steps
-    # instead of re-converting at every scan boundary: 14 -> 42 frames/s).
+    # <0.01 dB end-to-end — PERFORMANCE.md), trace-time-unrolled temporal
+    # loop (identical math to the scanned model: 14 -> 42 frames/s), and the
+    # packed/width-folded serving pipeline (exact conv reparameterizations
+    # that fix the TPU lane-padding pathologies of sub-128-channel tensors:
+    # 42 -> 46 frames/s; serve/fast_forward.py, serve/packing.py — verified
+    # == model.apply in tests/test_fast_forward.py).
     cfg = RefidConfig(dtype=jnp.bfloat16, unroll=True)
     model = FinalBidirectionAttenfusion(cfg)
     b, t, h, w = 1, 23, 720, 1280
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(b, h, w, cfg.img_chn).astype(np.float32))
-    ev = jnp.asarray(rng.rand(b, t, h, w, cfg.ev_chn).astype(np.float32))
+    x = jnp.asarray(rng.rand(b, h, w, cfg.img_chn).astype(np.float32),
+                    jnp.bfloat16)
+    ev = jnp.asarray(rng.rand(b, t, h, w, cfg.ev_chn).astype(np.float32),
+                     jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 64, cfg.img_chn)),
                         jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
@@ -69,9 +74,10 @@ def main():
     def bench_fn(params, x, ev, iters):
         def body(_, carry):
             xi, s = carry
-            out = model.apply(params, xi, ev)
+            out = fast_forward(params, cfg, xi, ev, packed=True)
             s = jnp.mean(out.astype(jnp.float32))
-            return (x + s * 1e-12, s)  # dependency chain across iterations
+            xi = (x.astype(jnp.float32) + s * 1e-12).astype(x.dtype)
+            return (xi, s)  # dependency chain across iterations
 
         return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))[1]
 
