@@ -243,7 +243,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
     if packed:
         from refid_tpu.serve.packing import (space_to_depth, depth_to_space,
                                              conv_s2d, s2d_to_wfold,
-                                             conv_transpose_up_fold4)
+                                             conv_transpose_up_folded)
         evp = space_to_depth(
             event.reshape(b * t, h, w, ev_c), 2)          # (bt, h/2, w/2, 8)
         hf = conv_s2d(evp, p["head"]["kernel"], p["head"]["bias"], 2, dt)
@@ -304,6 +304,9 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
     if packed:
         dec_states[n_enc - 1] = jnp.zeros(
             (b, h, w // 4, 4 * cfg.encoder_out_sizes[0] // 2), zdt)
+        if n_enc >= 2:
+            dec_states[n_enc - 2] = jnp.zeros(
+                (b, h // 2, w // 4, 2 * cfg.encoder_out_sizes[1] // 2), zdt)
         xh_f4 = space_to_depth(xh, (1, 4))
     outs = []
     for k in range(t):
@@ -328,10 +331,19 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
         for i in range(n_enc):
             pd = p["fwd"][f"dec_{i}"]
             skip = e_blocks[n_enc - i - 1]
-            if packed and i == n_enc - 1:
+            if packed and i == n_enc - 2:
+                # half-res decoder stage in width-fold-2 (64ch -> 128 lanes)
+                up = conv_transpose_up_folded(
+                    e + skip, pd["up"]["kernel"], pd["up"]["bias"], dt,
+                    r_in=1, r_out=2)
+                e = _trunk_folded(pd["trunk"], up, dec_states[i], 2, dt)
+            elif packed and i == n_enc - 1:
                 # full-res decoder stage in width-fold-4 (32ch -> 128 lanes)
-                up = conv_transpose_up_fold4(
-                    e + skip, pd["up"]["kernel"], pd["up"]["bias"], dt)
+                # e is width-fold-2 from dec_1; the skip folds to match
+                skip_f2 = space_to_depth(skip, (1, 2))
+                up = conv_transpose_up_folded(
+                    e + skip_f2, pd["up"]["kernel"], pd["up"]["bias"], dt,
+                    r_in=2, r_out=4)
                 e = _trunk_folded(pd["trunk"], up, dec_states[i], 4, dt)
             else:
                 up = _conv_transpose_up(pd["up"], e + skip, dt)

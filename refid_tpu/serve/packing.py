@@ -179,30 +179,69 @@ def fold_concat(parts, r):
     return jnp.concatenate(out, axis=-1)
 
 
-def up_fold4_kernel(k_param):
-    """Build the (1, 2, ci, 2*4*co) kernel for the fused 2x2/2 transposed
-    conv producing a width-fold-4 full-res output (see conv_transpose_up
-    semantics, models/layers.py:221-238: transpose_kernel=True, param shape
-    (kh, kw, out, in)).  Output channel order (row-phase r, col-phase d,
-    co) so a reshape/transpose interleaves rows afterwards."""
+def up_fold_kernel(k_param, r_in=1, r_out=4):
+    """Kernel for the fused 2x2/2 transposed conv mapping a width-fold-r_in
+    input (b, H, W', r_in*ci) to the width-fold-r_out representation (with
+    an extra packed row-phase) of the (2H, 2W, co) output.  Valid for
+    r_out == 2 * r_in; r_in=1 pairs input columns via a kw=2/stride-2
+    window instead of packed channels.  conv_transpose_up semantics
+    (models/layers.py:221-238): param (kh, kw, out, in); empirically
+    (tests) out[2p+r, 2q+s] uses param[r, s].T — channels swapped, spatials
+    not flipped.  Output channel order (row-phase r, col-phase d, co)."""
     kh, kw, co, ci = k_param.shape
     assert kh == kw == 2
-    W = jnp.zeros((1, 2, ci, 2 * 4 * co), k_param.dtype)
+    ratio = r_out // max(r_in, 1)
+    if ratio == 4:
+        assert r_in == 1
+        # kw=2/stride-2 window pairs the input columns; out fold 4
+        W = jnp.zeros((1, 2, ci, 2 * 4 * co), k_param.dtype)
+        for r_ in range(2):
+            for d in range(4):
+                s, wphase = d // 2, d % 2
+                W = W.at[0, s, :,
+                         (r_ * 4 + d) * co:(r_ * 4 + d + 1) * co].set(
+                    jnp.transpose(k_param[r_, wphase]))
+        return W
+    assert ratio == 2
+    W = jnp.zeros((1, 1, max(r_in, 1) * ci, 2 * r_out * co), k_param.dtype)
     for r_ in range(2):
-        for d in range(4):
-            s, wphase = d // 2, d % 2
-            # empirically pinned (tests): out[2p+r, 2q+s] uses
-            # param[r, s].T — channels swapped, spatials NOT flipped
-            W = W.at[0, s, :, (r_ * 4 + d) * co:(r_ * 4 + d + 1) * co].set(
+        for d in range(r_out):
+            in_phase, wphase = d // 2, d % 2
+            W = W.at[0, 0, in_phase * ci:(in_phase + 1) * ci,
+                     (r_ * r_out + d) * co:(r_ * r_out + d + 1) * co].set(
                 jnp.transpose(k_param[r_, wphase]))
     return W
 
 
+def conv_transpose_up_folded(x, k_param, bias, dtype=None, r_in=2,
+                             r_out=None):
+    """2x2 stride-2 transposed conv from a width-fold-r_in input to the
+    width-fold-2*r_in output — the low-channel output tensor is never
+    materialized unfolded.  Input at fold r_in >= 2 maps packed columns
+    1:1 via a 1x1 kernel."""
+    r_out = r_out or 2 * r_in
+    W = up_fold_kernel(k_param, r_in=r_in, r_out=r_out)
+    if dtype is not None:
+        x, W = x.astype(dtype), W.astype(dtype)
+    z = jax.lax.conv_general_dilated(
+        x, W, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    b, hh, wq, cc = z.shape
+    cor = cc // 2
+    z = z.reshape(b, hh, wq, 2, cor).transpose(0, 1, 3, 2, 4)
+    z = z.reshape(b, 2 * hh, wq, cor)
+    if bias is not None:
+        bp = jnp.tile(bias, r_out)
+        z = z + (bp.astype(dtype) if dtype is not None else bp)
+    return z
+
+
 def conv_transpose_up_fold4(x, k_param, bias, dtype=None):
-    """2x2 stride-2 transposed conv from (b, H, W, ci) to the width-fold-4
-    representation (b, 2H, W/2, 4*co) of the (2H, 2W, co) output — the
-    full-res low-channel tensor is never materialized."""
-    W = up_fold4_kernel(k_param)
+    """Unfolded (b, H, W, ci) -> width-fold-4 (b, 2H, W/2, 4*co): the kw=2
+    stride-2 window pairs input columns; rows interleave via one
+    reshape/transpose.  (This exact formulation measured fastest — see the
+    fusion-fragility note in PERFORMANCE.md before touching the HLO.)"""
+    W = up_fold_kernel(k_param, r_in=1, r_out=4)
     if dtype is not None:
         x, W = x.astype(dtype), W.astype(dtype)
     z = jax.lax.conv_general_dilated(

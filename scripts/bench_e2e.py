@@ -49,11 +49,14 @@ def main():
     t = 23
     if "--t" in sys.argv:
         t = int(sys.argv[sys.argv.index("--t") + 1])
+    bsz = 1
+    if "--b" in sys.argv:
+        bsz = int(sys.argv[sys.argv.index("--b") + 1])
     which = args or ["model", "fused"]
 
     cfg = RefidConfig(dtype=jnp.bfloat16, unroll=True)
     model = FinalBidirectionAttenfusion(cfg)
-    b, h, w = 1, 720, 1280
+    b, h, w = bsz, 720, 1280
     rng = np.random.RandomState(0)
     # bf16 inputs: identical serving semantics (the first conv casts to the
     # compute dtype regardless) and ~270 MB less HBM for the 23-bin stack
@@ -80,8 +83,8 @@ def main():
     for name in which:
         dt = timed(fns[name], params, x, ev)
         results[name] = dt
-        print(f"{name:6s} t={t}: {dt*1e3:8.1f} ms/forward "
-              f"({t/dt:6.1f} frames/s)", flush=True)
+        print(f"{name:6s} b={b} t={t}: {dt*1e3:8.1f} ms/forward "
+              f"({b*t/dt:6.1f} frames/s)", flush=True)
     if len(results) > 1:
         names = list(results)
         print(f"speedup {names[-1]} vs {names[0]}: "

@@ -105,3 +105,28 @@ def test_conv_transpose_up_fold4():
                                   p["params"]["up"]["bias"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("r_in,r_out", [(1, 2), (2, 4)])
+def test_conv_transpose_up_folded_variants(r_in, r_out):
+    """Fused transposed conv with folded input/output densities."""
+    import flax.linen as nn
+    from refid_tpu.serve.packing import conv_transpose_up_folded
+    from refid_tpu.models.layers import conv_transpose_up
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return conv_transpose_up(x, 6, name="up")
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 6, 8, 4).astype(np.float32))
+    m = M()
+    p = m.init(jax.random.PRNGKey(0), x)
+    want = space_to_depth(m.apply(p, x), (1, r_out))
+    xin = x if r_in == 1 else space_to_depth(x, (1, r_in))
+    got = conv_transpose_up_folded(xin, p["params"]["up"]["kernel"],
+                                   p["params"]["up"]["bias"], r_in=r_in,
+                                   r_out=r_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
