@@ -35,13 +35,22 @@ class BlurVFIPipeline:
     """
 
     def __init__(self, params, cfg: RefidConfig, m: int = 11, n: int = 1,
-                 norm_voxel: bool = False):
+                 norm_voxel: bool = False, fast: Optional[bool] = None):
         self.params = params
         self.cfg = cfg
         self.m, self.n = m, n
         self.num_bins = 2 * m + n + 1
         self.norm_voxel = norm_voxel  # parity: recurrent recipe skips norm
         self.model = FinalBidirectionAttenfusion(cfg)
+        # the packed/width-folded serving forward (serve/fast_forward.py,
+        # exact math, 46 vs 42 frames/s at 720p) requires the production
+        # architecture shape; auto-enable when it applies
+        if fast is None:
+            fast = (cfg.bidirectional and cfg.aliased_backward_states
+                    and cfg.recurrent_cell == "simpleconv"
+                    and cfg.num_block == 1 and cfg.siamese_fusion is None
+                    and cfg.decoder_type == "transpose_recurrent")
+        self.fast = fast
 
         @partial(jax.jit, static_argnames=("height", "width"))
         def _run(params, blur0, blur1, events, n_events, height, width):
@@ -61,6 +70,10 @@ class BlurVFIPipeline:
             t = self.num_bins - 1
             pairs = jnp.stack([vox[..., i:i + 2] for i in range(t)],
                               axis=0)[None]                 # (1,t,h,w,2)
+            if self.fast:
+                from refid_tpu.serve import fast_forward
+                return fast_forward(params, self.cfg, lq, pairs,
+                                    packed=True)[0]
             return self.model.apply(params, lq, pairs)[0]   # (t,h,w,3)
 
         self._run = _run
