@@ -55,8 +55,10 @@ def main():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(b, h, w, cfg.img_chn).astype(np.float32),
                     jnp.bfloat16)
-    ev = jnp.asarray(rng.rand(b, t, h, w, cfg.ev_chn).astype(np.float32),
-                     jnp.bfloat16)
+    # events in the pre-packed serving format (s2d(2,2) voxel pairs,
+    # producible directly by the on-device voxelizer): (b,t,h/2,w/2,8)
+    ev = jnp.asarray(rng.rand(b, t, h // 2, w // 2, 4 * cfg.ev_chn).astype(
+        np.float32), jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 64, cfg.img_chn)),
                         jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))

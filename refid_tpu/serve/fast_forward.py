@@ -238,14 +238,26 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
 
     if x.ndim == 5:
         x = jnp.concatenate([x[:, i] for i in range(x.shape[1])], axis=-1)
-    b, t, h, w, ev_c = event.shape
+    if event.shape[-1] == 4 * cfg.ev_chn:
+        # pre-packed serving input format: s2d(2,2) voxel-bin pairs
+        # (b, t, h/2, w/2, 4*ev_chn) — producers (the on-device voxelizer)
+        # can emit this directly, skipping a 64x-lane-padded read of the
+        # raw (.., 2)-channel event stack
+        assert packed, "pre-packed events require the packed serving path"
+        b, t, h2, w2, _ = event.shape
+        h, w = 2 * h2, 2 * w2
+    else:
+        b, t, h, w, _ = event.shape
 
     if packed:
         from refid_tpu.serve.packing import (space_to_depth, depth_to_space,
                                              conv_s2d, s2d_to_wfold,
                                              conv_transpose_up_folded)
-        evp = space_to_depth(
-            event.reshape(b * t, h, w, ev_c), 2)          # (bt, h/2, w/2, 8)
+        if event.shape[-1] == 4 * cfg.ev_chn:
+            evp = event.reshape(b * t, h // 2, w // 2, event.shape[-1])
+        else:
+            evp = space_to_depth(
+                event.reshape(b * t, h, w, event.shape[-1]), 2)
         hf = conv_s2d(evp, p["head"]["kernel"], p["head"]["bias"], 2, dt)
         hf = jnp.maximum(hf, 0.2 * hf)
         head_cache = hf.reshape(b, t, h // 2, w // 2, hf.shape[-1])

@@ -47,3 +47,15 @@ def test_fast_forward_bf16_close_to_f32():
     # bf16 serving tolerance (PERFORMANCE.md: ~3e-3 deviation at production
     # scale; random-init tiny nets are noisier)
     assert np.abs(got - want).max() < 0.1
+
+
+def test_fast_forward_prepacked_events():
+    """Pre-packed event input == packing inside (same math)."""
+    from refid_tpu.serve.packing import space_to_depth
+    cfg, model, params, x, ev = _setup(seed=3, t=3)
+    want = np.asarray(fast_forward(params, cfg, x, ev, packed=True))
+    b, t, h, w, c = ev.shape
+    evp = space_to_depth(ev.reshape(b * t, h, w, c), 2).reshape(
+        b, t, h // 2, w // 2, 4 * c)
+    got = np.asarray(fast_forward(params, cfg, x, evp, packed=True))
+    np.testing.assert_array_equal(got, want)
