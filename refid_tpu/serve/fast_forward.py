@@ -174,37 +174,38 @@ def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
     return e, new_state
 
 
-def _trunk_folded(p, x_f, s_f, r, dtype=None):
+def _trunk_folded(p, x_f, s_f, r, dtype=None, kc=None):
     """ConvResidualBlocks over width-fold-r inputs (exact reparameterization
     — serve/packing.py)."""
     from refid_tpu.serve.packing import conv_s2d, fold_concat
     ci, b0 = p["conv_in"], p["block_0"]
     cat = fold_concat([x_f, s_f], r)
-    h = conv_s2d(cat, ci["kernel"], ci["bias"], (1, r), dtype)
+    h = conv_s2d(cat, ci["kernel"], ci["bias"], (1, r), dtype, cache=kc)
     h = jnp.maximum(h, 0.1 * h)
     h1 = jax.nn.relu(conv_s2d(h, b0["conv1"]["kernel"],
-                              b0["conv1"]["bias"], (1, r), dtype))
+                              b0["conv1"]["bias"], (1, r), dtype, cache=kc))
     return h + conv_s2d(h1, b0["conv2"]["kernel"], b0["conv2"]["bias"],
-                        (1, r), dtype)
+                        (1, r), dtype, cache=kc)
 
 
-def _enc_stage0_folded(p, e_f2, state_f2, bwd_f2, dtype=None):
+def _enc_stage0_folded(p, e_f2, state_f2, bwd_f2, dtype=None, kc=None):
     """Scale-0 encoder stage entirely in width-fold-2 (64ch -> 128 lanes):
     the full-resolution 32/64-channel tensors that pay 2-4x lane-padding
     tax in HBM never exist.  Exact math; the chained lrelus collapse to one
     slope-0.04 epilogue and fuse_bidir runs as two concat-free matmuls."""
     from refid_tpu.serve.packing import conv_s2d, down_conv_folded
     pc = p["conv"]["conv"]
-    e = conv_s2d(e_f2, pc["kernel"], pc["bias"], (1, 2), dtype)
+    e = conv_s2d(e_f2, pc["kernel"], pc["bias"], (1, 2), dtype, cache=kc)
     e = jnp.maximum(e, 0.04 * e)
-    e = _trunk_folded(p["rec"]["trunk"], e, state_f2, 2, dtype)
+    e = _trunk_folded(p["rec"]["trunk"], e, state_f2, 2, dtype, kc=kc)
     new_state = e
     if bwd_f2 is not None:
         pf = p["fuse_bidir"]["conv"]
         k = pf["kernel"]
         c = k.shape[-1]
-        o = conv_s2d(e, k[:, :, :c], None, (1, 2), dtype)
-        o = o + conv_s2d(bwd_f2, k[:, :, c:], pf["bias"], (1, 2), dtype)
+        o = conv_s2d(e, k[:, :, :c], None, (1, 2), dtype, cache=kc)
+        o = o + conv_s2d(bwd_f2, k[:, :, c:], pf["bias"], (1, 2), dtype,
+                         cache=kc)
         e = jnp.maximum(o, o * 0.2)
     e = down_conv_folded(e, p["down"]["kernel"], rw=2, dtype=dtype)
     return e, new_state
@@ -249,6 +250,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
     else:
         b, t, h, w, _ = event.shape
 
+    kcache = {}  # per-trace folded-kernel memo (see conv_s2d)
     if packed:
         from refid_tpu.serve.packing import (space_to_depth, depth_to_space,
                                              conv_s2d, s2d_to_wfold,
@@ -301,7 +303,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             y = None if i == 0 else x_blocks[i - 1]
             if packed and i == 0:
                 e, states[0] = _enc_stage0_folded(
-                    p["bwd"]["enc_0"], e, states[0], None, dt)
+                    p["bwd"]["enc_0"], e, states[0], None, dt, kc=kcache)
             else:
                 e, states[i] = _enc_stage(
                     p["bwd"][f"enc_{i}"], i, atten_at, e, y, states[i],
@@ -328,7 +330,8 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             y = None if i == 0 else x_blocks[i - 1]
             if packed and i == 0:
                 e, fwd_states[0] = _enc_stage0_folded(
-                    p["fwd"]["enc_0"], e, fwd_states[0], bwd_final[0], dt)
+                    p["fwd"]["enc_0"], e, fwd_states[0], bwd_final[0], dt,
+                    kc=kcache)
             else:
                 e, fwd_states[i] = _enc_stage(
                     p["fwd"][f"enc_{i}"], i, atten_at, e, y, fwd_states[i],
@@ -348,7 +351,8 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
                 up = conv_transpose_up_folded(
                     e + skip, pd["up"]["kernel"], pd["up"]["bias"], dt,
                     r_in=1, r_out=2)
-                e = _trunk_folded(pd["trunk"], up, dec_states[i], 2, dt)
+                e = _trunk_folded(pd["trunk"], up, dec_states[i], 2, dt,
+                                  kc=kcache)
             elif packed and i == n_enc - 1:
                 # full-res decoder stage in width-fold-4 (32ch -> 128 lanes)
                 # e is width-fold-2 from dec_1; the skip folds to match
@@ -356,7 +360,8 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
                 up = conv_transpose_up_folded(
                     e + skip_f2, pd["up"]["kernel"], pd["up"]["bias"], dt,
                     r_in=2, r_out=4)
-                e = _trunk_folded(pd["trunk"], up, dec_states[i], 4, dt)
+                e = _trunk_folded(pd["trunk"], up, dec_states[i], 4, dt,
+                                  kc=kcache)
             else:
                 up = _conv_transpose_up(pd["up"], e + skip, dt)
                 e = _trunk(pd["trunk"], up, dec_states[i], dt, fused,
@@ -365,7 +370,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
         if packed:
             pk = p["fwd"]["pred"]["conv"]
             outs.append(conv_s2d(e + xh_f4, pk["kernel"], pk["bias"],
-                                 (1, 4), dt))
+                                 (1, 4), dt, cache=kcache))
         else:
             outs.append(_conv(p["fwd"]["pred"]["conv"], e + xh, padding=1,
                               dtype=dt))

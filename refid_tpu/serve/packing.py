@@ -88,10 +88,22 @@ def s2d_conv_kernel(w, r=2):
     return W, padding
 
 
-def conv_s2d(xp, w, bias=None, r=2, dtype=None):
+def conv_s2d(xp, w, bias=None, r=2, dtype=None, cache=None):
     """Apply a stride-1 conv to an s2d_r-packed input, returning the packed
-    output.  ``w`` is the ORIGINAL (kh, kw, ci, co) kernel."""
-    W, padding = s2d_conv_kernel(w, r)
+    output.  ``w`` is the ORIGINAL (kh, kw, ci, co) kernel.  ``cache``
+    (a per-trace dict) memoizes the folded-kernel construction so the
+    t-unrolled serving loop builds each kernel once, not per frame."""
+    if cache is not None:
+        # the cached entry PINS ``w`` so its id cannot be recycled by the
+        # garbage collector mid-trace (id-reuse would alias kernels)
+        key = (id(w), _rr(r))
+        hit = cache.get(key)
+        if hit is None or hit[0] is not w:
+            hit = (w,) + s2d_conv_kernel(w, r)
+            cache[key] = hit
+        _, W, padding = hit
+    else:
+        W, padding = s2d_conv_kernel(w, r)
     if dtype is not None:
         xp, W = xp.astype(dtype), W.astype(dtype)
     out = jax.lax.conv_general_dilated(
