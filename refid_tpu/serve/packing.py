@@ -267,3 +267,57 @@ def conv_transpose_up_fold4(x, k_param, bias, dtype=None):
         bp = jnp.tile(bias, 4)
         z = z + (bp.astype(dtype) if dtype is not None else bp)
     return z
+
+
+def fold_down_conv_kernel_f2out(w, rw=2):
+    """4x4/2 downsample consuming width-fold-rw input and emitting a
+    width-fold-2 output: out f2 col Q covers orig out cols 2Q, 2Q+1, i.e.
+    orig in cols 4Q-1..4Q+4 -> in-f2 cells 2Q-1..2Q+2 (shift-invariant).
+    Returns (W (kh, 4, rw*ci, 2*co), padding)."""
+    kh, kw, ci, co = w.shape
+    assert kw == 4 and rw == 2
+    offs = []
+    for d in range(2):          # out phase
+        for v in range(4):      # orig tap
+            r_ = 2 * d + v - 1  # orig in col offset from 4Q
+            offs.append((d, v, r_ // rw, r_ % rw))
+    bmin = min(o[2] for o in offs)
+    bmax = max(o[2] for o in offs)
+    W = jnp.zeros((kh, bmax - bmin + 1, rw * ci, 2 * co), w.dtype)
+    for d, v, B, b in offs:
+        W = W.at[:, B - bmin, b * ci:(b + 1) * ci,
+                 d * co:(d + 1) * co].add(w[:, v])
+    padding = ((1, 1), (-bmin, bmax))
+    return W, padding
+
+
+def down_conv_folded_f2out(xf, w, dtype=None, cache=None):
+    """Width-folded downsample with width-fold-2 output (for consumers that
+    stay folded, e.g. the folded EGACA at scale 1)."""
+    if cache is not None:
+        key = (id(w), "down_f2out")
+        hit = cache.get(key)
+        if hit is None or hit[0] is not w:
+            hit = (w,) + fold_down_conv_kernel_f2out(w)
+            cache[key] = hit
+        _, W, padding = hit
+    else:
+        W, padding = fold_down_conv_kernel_f2out(w)
+    if dtype is not None:
+        xf, W = xf.astype(dtype), W.astype(dtype)
+    return jax.lax.conv_general_dilated(
+        xf, W, (2, 2), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def depthwise_folded_kernel(w_dw, r=2):
+    """Dense width-fold-r kernel equivalent to a depthwise 3x3 conv with
+    HWIO kernel (3, 3, 1, c).  The dense kernel is (3, KW, r*c, r*c) with
+    nonzeros only where in-channel == out-channel (phase taps differ); the
+    64x MAC inflation is irrelevant for these tiny bandwidth-bound ops."""
+    kh, kw, one, c = w_dw.shape
+    assert one == 1
+    dense = jnp.zeros((kh, kw, c, c), w_dw.dtype)
+    idx = jnp.arange(c)
+    dense = dense.at[:, :, idx, idx].set(w_dw[:, :, 0, :])
+    return dense

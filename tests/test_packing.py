@@ -130,3 +130,32 @@ def test_conv_transpose_up_folded_variants(r_in, r_out):
                                    r_out=r_out)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_down_conv_folded_f2out():
+    from refid_tpu.serve.packing import down_conv_folded_f2out
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(1, 16, 24, 6).astype(np.float32))
+    w = jnp.asarray((rng.randn(4, 4, 6, 5) * 0.3).astype(np.float32))
+    want = space_to_depth(jax.lax.conv_general_dilated(
+        x, w, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")), (1, 2))
+    got = down_conv_folded_f2out(space_to_depth(x, (1, 2)), w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_depthwise_folded_kernel():
+    from refid_tpu.serve.packing import depthwise_folded_kernel, conv_s2d
+    rng = np.random.RandomState(13)
+    c = 6
+    x = jnp.asarray(rng.randn(1, 8, 16, c).astype(np.float32))
+    wd = jnp.asarray((rng.randn(3, 3, 1, c) * 0.3).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        x, wd, (1, 1), [(1, 1), (1, 1)], feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dense = depthwise_folded_kernel(wd)
+    got = depth_to_space(conv_s2d(space_to_depth(x, (1, 2)), dense,
+                                  None, (1, 2)), (1, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
