@@ -1,27 +1,43 @@
-"""Flagship benchmark: blur-VFI 11+1 inference throughput at 1280x720.
+"""Flagship benchmark: blur-VFI 11+1 END-TO-END serving throughput at
+1280x720 — raw events + 2 blurred frames in, sharp frames out, including
+on-device voxelization and packing (round 3; rounds 1-2 measured the
+network forward alone).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-value      = sharp frames produced per second per chip (one forward emits
-             t=23 frames from 2 blurred frames + events at 1280x720).
+value      = sharp frames produced per second per chip (one pipeline call
+             emits t=23 frames from 2 blurred frames + the raw event
+             stream at 1280x720).
 vs_baseline= value / H100_REFERENCE_FPS_EST.
 
 The reference repo publishes no throughput numbers (BASELINE.md), so the
 baseline is an analytic estimate of the reference PyTorch implementation on
-one H100, documented here and held fixed across rounds so the trend is
-comparable:
+one H100, documented here:
 
-  XLA cost analysis of the network at this shape: 2.86 TFLOP and 69.5 GB of
-  tensor traffic per 23-frame forward -> arithmetic intensity ~41 flop/byte,
-  i.e. the model is HBM-bandwidth-bound on modern accelerators.  On H100 SXM
-  (3.35 TB/s) the fp32 bandwidth roofline is ~21 ms/forward (~1100 frames/s);
-  the eager-mode reference — a Python loop over 23 frames x 3 stages of
-  small unfused ops (XXNet_final_attenfusion_arch.py:172-216) — realistically
-  reaches roughly half of the roofline.
-  => H100_REFERENCE_FPS_EST = 600 frames/s; BASELINE.json's north star of
-  ">=2x H100 frames/sec/chip" corresponds to vs_baseline >= 2.0.
-  (Note: one TPU v5e has 819 GB/s HBM, a 4x bandwidth handicap vs H100 —
-  closing the gap means cutting bytes: bf16 activations and fusion.)
+  The network costs 54.1 TFLOP per 23-frame 720p forward (2.35 TFLOP per
+  fwd+bwd frame pair — measured on the UNROLLED graph and confirmed by a
+  hand count of the per-step convs; PERFORMANCE.md "Round-2 correction").
+  Arithmetic intensity is ~780 flop/byte: the model is COMPUTE-bound on
+  modern accelerators, not bandwidth-bound.  On H100 SXM the relevant peak
+  for the eager-PyTorch reference is TF32 dense ~495 TFLOP/s (PyTorch
+  enables TF32 for cuDNN convs by default; the model is conv-only), giving
+  a 109 ms/forward = 210 frames/s *theoretical* ceiling at 100% MFU.  The
+  reference's forward is a Python loop over 23 frames x 3 encoder stages of
+  small unfused ops (XXNet_final_attenfusion_arch.py:172-216); eager conv
+  nets of this shape realistically achieve 30-50% MFU => ~63-105 frames/s.
+  => H100_REFERENCE_FPS_EST = 90 frames/s (midpoint).  BASELINE.json's
+  north star of ">=2x H100 frames/sec/chip" is vs_baseline >= 2.0
+  (~180 fps) — note this exceeds the 84 frames/s bf16 exact-math ceiling of
+  one v5e (197 TFLOP/s peak / 54.1 TFLOP), i.e. it is reachable only with
+  reduced-precision (int8 MXU, 394 TOPS -> ~168 fps bound) or
+  MAC-cutting (Winograd) arithmetic.
+
+  History: rounds 1-2 used H100_REFERENCE_FPS_EST = 600, derived from a
+  bandwidth-bound cost model (2.86 TFLOP / 69.5 GB per forward) that XLA
+  cost analysis produced by counting the scan body ONCE instead of x23.
+  Round 2 debunked it (PERFORMANCE.md:92-101); round 3 corrected the
+  constant.  Comparable vs_baseline trend: r01 0.023 -> r02 0.077 on the
+  old scale = r01 0.156 -> r02 0.511 on this scale.
 """
 
 import json
@@ -29,7 +45,11 @@ import time
 
 import numpy as np
 
-H100_REFERENCE_FPS_EST = 600.0
+H100_REFERENCE_FPS_EST = 90.0
+V5E_BF16_CEILING_FPS = 84.0  # 197 TFLOP/s / (54.1 TFLOP / 23 frames)
+
+
+N_EVENTS = 1 << 20  # ~1M events per 12-frame 720p window (realistic order)
 
 
 def main():
@@ -40,28 +60,31 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
-    from refid_tpu.serve import fast_forward
+    from refid_tpu.pipeline import BlurVFIPipeline
 
-    # Serving config: bf16 compute (deviates from the f32 forward by 65 dB,
-    # <0.01 dB end-to-end — PERFORMANCE.md), trace-time-unrolled temporal
-    # loop (identical math to the scanned model: 14 -> 42 frames/s), and the
-    # packed/width-folded serving pipeline (exact conv reparameterizations
-    # that fix the TPU lane-padding pathologies of sub-128-channel tensors:
-    # 42 -> 46 frames/s; serve/fast_forward.py, serve/packing.py — verified
-    # == model.apply in tests/test_fast_forward.py).
+    # END-TO-END serving: raw events + 2 blurred frames in, 23 sharp frames
+    # out — ONE device program: voxelization (XLA scatter), deblur-voxel
+    # packing, s2d event-pair packing, and the width-folded bf16 forward
+    # (serve/fast_forward.py; == model.apply in tests/test_fast_forward.py;
+    # bf16 deviates from f32 by 65 dB, <0.01 dB end-to-end).
     cfg = RefidConfig(dtype=jnp.bfloat16, unroll=True)
     model = FinalBidirectionAttenfusion(cfg)
-    b, t, h, w = 1, 23, 720, 1280
+    m, n = 11, 1
+    b, t, h, w = 1, 2 * m + n, 720, 1280
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(b, h, w, cfg.img_chn).astype(np.float32),
-                    jnp.bfloat16)
-    # events in the pre-packed serving format (s2d(2,2) voxel pairs,
-    # producible directly by the on-device voxelizer): (b,t,h/2,w/2,8)
-    ev = jnp.asarray(rng.rand(b, t, h // 2, w // 2, 4 * cfg.ev_chn).astype(
-        np.float32), jnp.bfloat16)
+    blur0 = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    blur1 = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    events = np.empty((N_EVENTS, 4), np.float32)
+    events[:, 0] = np.sort(rng.rand(N_EVENTS))            # time, sorted
+    events[:, 1] = rng.randint(0, w, N_EVENTS)            # x
+    events[:, 2] = rng.randint(0, h, N_EVENTS)            # y
+    events[:, 3] = rng.randint(0, 2, N_EVENTS)            # polarity
+    events = jnp.asarray(events)
+    n_ev = jnp.int32(N_EVENTS)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 64, cfg.img_chn)),
                         jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
+    pipe = BlurVFIPipeline(params, cfg, m=m, n=n)
 
     # NOTE: the device is reached through an async relay where
     # block_until_ready acknowledges enqueue, not completion, and identical
@@ -72,21 +95,22 @@ def main():
     # constants, which the compile relay rejects for 720p inputs).
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(3,))
-    def bench_fn(params, x, ev, iters):
+    @partial(jax.jit, static_argnums=(5,))
+    def bench_fn(params, b0, b1, events, n_ev, iters):
         def body(_, carry):
-            xi, s = carry
-            out = fast_forward(params, cfg, xi, ev, packed=True)
+            b0i, s = carry
+            out = pipe._run(params, b0i, b1, events, n_ev,
+                            height=h, width=w)
             s = jnp.mean(out.astype(jnp.float32))
-            xi = (x.astype(jnp.float32) + s * 1e-12).astype(x.dtype)
-            return (xi, s)  # dependency chain across iterations
+            b0i = (b0.astype(jnp.float32) + s * 1e-12).astype(b0.dtype)
+            return (b0i, s)  # dependency chain across iterations
 
-        return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))[1]
+        return jax.lax.fori_loop(0, iters, body, (b0, jnp.float32(0.0)))[1]
 
     def bench_iters(iters):
-        float(bench_fn(params, x, ev, iters))  # compile + warmup
+        float(bench_fn(params, blur0, blur1, events, n_ev, iters))
         t0 = time.perf_counter()
-        float(bench_fn(params, x, ev, iters))  # scalar fetch = completion
+        float(bench_fn(params, blur0, blur1, events, n_ev, iters))
         return time.perf_counter() - t0
 
     dt1 = bench_iters(1)
@@ -95,10 +119,18 @@ def main():
 
     fps = t / dt
     print(json.dumps({
-        "metric": "blur-VFI 11+1 inference frames/sec/chip @1280x720",
+        "metric": ("blur-VFI 11+1 END-TO-END frames/sec/chip @1280x720 "
+                   "(raw events + frames in)"),
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / H100_REFERENCE_FPS_EST, 3),
+        "notes": (f"includes on-device voxelization of {N_EVENTS} events + "
+                  f"packing + forward; baseline = "
+                  f"{H100_REFERENCE_FPS_EST:.0f} fps analytic H100-eager "
+                  f"estimate (54.1 TFLOP/forward, see docstring); v5e bf16 "
+                  f"exact-math forward ceiling = "
+                  f"{V5E_BF16_CEILING_FPS:.0f} fps "
+                  f"({fps / V5E_BF16_CEILING_FPS:.0%} achieved)"),
     }))
 
 

@@ -10,16 +10,52 @@ import logging
 import time
 from typing import Optional
 
-__all__ = ["get_root_logger", "MessageLogger", "init_tb_logger"]
+__all__ = ["get_root_logger", "MessageLogger", "init_tb_logger",
+           "init_wandb_logger"]
+
+
+def init_wandb_logger(opt: dict):
+    """wandb in tensorboard-sync mode (parity: basicsr/utils/logger.py:87-110
+    — the reference "only use[s] wandb to sync tensorboard log").  Honors
+    ``logger.wandb.project`` / ``.resume_id``.  The wandb package is not
+    installed in every deployment; its absence is a clean warning, not a
+    crash (scalars still land in the TFRecord event files either way)."""
+    log_opt = opt.get("logger", {}) or {}
+    wandb_opt = log_opt.get("wandb") or {}
+    if not wandb_opt.get("project"):
+        return None
+    logger = logging.getLogger("refid_tpu")
+    try:
+        import wandb
+    except ImportError:
+        logger.warning(
+            "logger.wandb.project is set but the wandb package is not "
+            "installed; skipping wandb sync (tb event files are unaffected)")
+        return None
+    resume_id = wandb_opt.get("resume_id")
+    if resume_id:
+        wandb_id, resume = resume_id, "allow"
+        logger.warning(f"Resume wandb logger with id={wandb_id}.")
+    else:
+        wandb_id, resume = wandb.util.generate_id(), "never"
+    wandb.init(id=wandb_id, resume=resume, name=opt.get("name"),
+               config=opt, project=wandb_opt["project"],
+               sync_tensorboard=True)
+    logger.info(f"Use wandb logger with id={wandb_id}; "
+                f"project={wandb_opt['project']}.")
+    return wandb_id
 
 
 def init_tb_logger(opt: dict):
     """Create a TensorBoardWriter under tb_logger/<name> when
-    ``logger.use_tb_logger`` is set (parity: basicsr/utils/logger.py:71-85;
-    wandb sync is not supported — no network egress)."""
+    ``logger.use_tb_logger`` is set (parity: basicsr/utils/logger.py:71-85).
+    Like the reference (train.py:70-76), wandb must be initialized BEFORE
+    the tb writer so sync_tensorboard picks up the event files."""
     log_opt = opt.get("logger", {}) or {}
     if not log_opt.get("use_tb_logger"):
         return None
+    if log_opt.get("wandb"):
+        init_wandb_logger(opt)
     from refid_tpu.core.tb_writer import TensorBoardWriter
     root = opt.get("path", {}).get("root", ".")
     return TensorBoardWriter(f"{root}/tb_logger/{opt.get('name', 'exp')}")

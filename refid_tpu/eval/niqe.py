@@ -111,8 +111,10 @@ def _niqe_score(img: np.ndarray, mu_pris, cov_pris, window,
     mu_dist = np.nanmean(feats, axis=0)
     cov_dist = np.cov(valid, rowvar=False)
     invcov = np.linalg.pinv((cov_pris + cov_dist) / 2)
-    d = mu_pris - mu_dist
-    return float(np.sqrt(d @ invcov @ d.T))
+    # ravel: mu_pris is stored (1, n), and float() on a 1-element 2-D array
+    # is removed in numpy >= 1.25
+    d = np.ravel(mu_pris - mu_dist)
+    return float(np.sqrt(d @ invcov @ d))
 
 
 def calculate_niqe(img, crop_border=0, input_order="HWC", convert_to="y",

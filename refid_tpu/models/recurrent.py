@@ -87,15 +87,26 @@ class ConvLSTM(nn.Module):
 
 
 class RecurrentEncoderStage(nn.Module):
-    """One scale of the event encoder:
+    """One scale of the event encoder.  ``stage_type`` selects the reference
+    stage-class lineage (each is a different downsampling arrangement):
 
-    fuse(img feat) -> [conv | EGACA] -> recurrent cell
-    -> optional bidirectional-state 1x1 fuse -> 4x4/2 downsample.
+    * ``then_down`` — SimpleRecurrentThenDownAttenfusionmodifiedConvLayer
+      (recurrent_sub_modules.py:245-296, the flagship): fuse(img feat) ->
+      [k3/s1 conv | EGACA] -> recurrent cell -> optional bidirectional-state
+      1x1 fuse -> 4x4/2 downsample.  State lives at the PRE-down resolution.
+    * ``conv_down`` — SimpleRecurrentConvLayer (:113-149, the
+      'simpleconv' ablation lineage): k5/s2 conv (downsampling) ->
+      recurrent trunk -> optional bidir fuse; NO separate down conv.  State
+      lives at the POST-down resolution.
+    * ``rec_conv`` — RecurrentConvLayer (:88-111, the 'convlstm'/'convgru'
+      ablation lineage): k5/s2 conv with a PLAIN ReLU (the reference passes
+      activation='relu' into ConvLayer's relu_slope slot, and ConvLayer
+      maps any string to nn.ReLU — :64-67) -> ConvLSTM/ConvGRU cell.  No
+      trunk, no bidir fuse, no down.  State at POST-down resolution.
 
-    Returns (downsampled_feat, new_state); the state lives at the PRE-down
-    resolution with ``out_ch`` channels.  ``cell`` selects the recurrence
-    (the reference's recurrent_block_type ablation axis): 'simpleconv'
-    (production), 'convgru', or 'convlstm' (state = (hidden, cell)).
+    Returns (downsampled_feat, new_state).  ``cell`` selects the recurrence:
+    'simpleconv' (production), 'convgru', or 'convlstm' (state =
+    (hidden, cell)).
     """
     in_ch: int
     out_ch: int
@@ -104,22 +115,55 @@ class RecurrentEncoderStage(nn.Module):
     fuse_two_direction: bool = False
     relu_slope: float = 0.2
     cell: str = "simpleconv"
+    stage_type: str = "then_down"
+    use_first_dcn: bool = False
     dtype: Optional[Dtype] = None
+
+    def _first_conv(self, x, k, s, p):
+        """The stage's channel-raising conv.  ``use_first_dcn`` swaps it for
+        a modulated deformable conv + single leaky-relu, the way the
+        reference's ablation stage classes honor the flag
+        (recurrent_sub_modules.py:164-180: DCN -> self.relu once; the plain
+        ConvLayer path applies its internal relu AND self.relu).  NOTE the
+        reference's flagship stage class accepts ``use_first_dcn`` but
+        silently drops it (:252-268 builds no DCN) — here the flag is
+        honored for every stage; keep it False for released-checkpoint
+        parity."""
+        if self.use_first_dcn:
+            from refid_tpu.ops.deform_conv import ModulatedDeformConvPack
+            x = ModulatedDeformConvPack(self.out_ch, k, s, p,
+                                        dtype=self.dtype, name="conv")(x)
+            return leaky_relu(x, self.relu_slope)
+        x = ConvLayer(self.out_ch, k, s, p, self.relu_slope,
+                      dtype=self.dtype, name="conv")(x)
+        return leaky_relu(x, self.relu_slope)
 
     @nn.compact
     def __call__(self, x, y, prev_state, bi_direction_state=None):
+        if y is not None and self.stage_type != "then_down":
+            # ablation lineages apply the skip-sum BEFORE the stage
+            # (XXNet_decoder_recurrent_arch.py:165); identical math to the
+            # flagship's in-stage x+y, expressed here for uniformity
+            x = x + y
+            y = None
+        if self.stage_type == "rec_conv":
+            # RecurrentConvLayer: single plain ReLU inside ConvLayer
+            x = nn.relu(conv2d(x, self.out_ch, 5, 2, 2, dtype=self.dtype,
+                               name="conv"))
+            cell_cls = {"convgru": ConvGRU, "convlstm": ConvLSTM}[self.cell]
+            x, state = cell_cls(self.out_ch, dtype=self.dtype,
+                                name="rec")(x, prev_state)
+            return x, state
+
+        k, s, p = (3, 1, 1) if self.stage_type == "then_down" else (5, 2, 2)
         if y is not None:
             if self.use_atten_fuse:
                 x = CrossmodalAtten(self.in_ch, self.out_ch, all_add=True,
                                     dtype=self.dtype, name="atten")(x, y)
             else:
-                x = ConvLayer(self.out_ch, 3, 1, 1, self.relu_slope,
-                              dtype=self.dtype, name="conv")(x + y)
-                x = leaky_relu(x, self.relu_slope)
+                x = self._first_conv(x + y, k, s, p)
         else:
-            x = ConvLayer(self.out_ch, 3, 1, 1, self.relu_slope,
-                          dtype=self.dtype, name="conv")(x)
-            x = leaky_relu(x, self.relu_slope)
+            x = self._first_conv(x, k, s, p)
 
         if self.cell == "simpleconv":
             x, state = SimpleRecurrentConv(self.out_ch, self.num_block,
@@ -140,21 +184,35 @@ class RecurrentEncoderStage(nn.Module):
             x = ConvLayer(self.out_ch, 1, 1, 0, self.relu_slope,
                           dtype=self.dtype, name="fuse_bidir")(
                               [x, bi_direction_state])
-        x = conv2d(x, self.out_ch, 4, 2, 1, use_bias=False,
-                   dtype=self.dtype, name="down")
+        if self.stage_type == "then_down":
+            x = conv2d(x, self.out_ch, 4, 2, 1, use_bias=False,
+                       dtype=self.dtype, name="down")
         return x, state
 
 
 class TransposeRecurrentConvLayer(nn.Module):
     """Decoder stage: 2x2/2 transposed conv up, concat hidden state,
-    ConvResidualBlocks trunk; new state = output."""
+    ConvResidualBlocks trunk; new state = output.
+
+    ``fuse_two_direction`` adds the 1x1 backward-state fuse conv of the
+    all-bidirection lineage (recurrent_sub_modules.py:383-384).  NOTE the
+    reference's forward COMPUTES the fuse and then discards it (:400-404
+    assigns the fused tensor to ``x`` but continues from ``out``) — a bug
+    that makes the decoder fusion a parameter-only no-op (the arch is also
+    runtime-broken overall, see archs.py).  Here the fuse is applied as
+    intended: to the upsampled feature before the trunk."""
     out_ch: int
     num_block: int = 1
+    fuse_two_direction: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, prev_state):
+    def __call__(self, x, prev_state, bi_direction_state=None):
         out = conv_transpose_up(x, self.out_ch, dtype=self.dtype, name="up")
+        if bi_direction_state is not None:
+            assert self.fuse_two_direction
+            out = ConvLayer(self.out_ch, 1, 1, 0, 0.2, dtype=self.dtype,
+                            name="fuse_bidir")([out, bi_direction_state])
         out = ConvResidualBlocks(self.out_ch, self.num_block,
                                  dtype=self.dtype, name="trunk")(
                                      [out, prev_state])

@@ -57,6 +57,12 @@ class RefidConfig:
     num_block: int = 1            # blocks per SimpleRecurrentConv trunk
     num_residual_blocks: int = 2  # bottleneck resblocks
     atten_fuse_at: Tuple[int, ...] = (1,)
+    use_first_dcn: bool = False   # deformable first conv per encoder stage.
+    # The reference ctor threads this flag into every stage
+    # (XXNet_final_attenfusion_arch.py:92,110-115) but the flagship stage
+    # class silently DROPS it (recurrent_sub_modules.py:252-268 builds no
+    # DCN); the ablation stage classes honor it (:164-165).  Here it is
+    # honored (ops/deform_conv.py); False = released-checkpoint parity.
     aliased_backward_states: bool = True   # reference checkpoint parity
     remat: bool = False                    # rematerialize scan steps
     unroll: bool = False                   # trace-time loop instead of scan
@@ -67,8 +73,28 @@ class RefidConfig:
     # reference's per-variant arch files XXNet_*_arch.py) ---
     bidirectional: bool = True             # False: unidirectional encoder
     recurrent_cell: str = "simpleconv"     # 'convgru' | 'convlstm'
+    encoder_stage: str = "then_down"       # reference stage-class lineage:
+    # 'then_down' (k3/s1 + separate 4x4/2 down, the flagship and
+    # 'simpleconvThendown' ablations), 'conv_down' (k5/s2 conv downsamples,
+    # SimpleRecurrentConvLayer = 'simpleconv' ablations), 'rec_conv'
+    # (k5/s2 + ConvLSTM/GRU cell, RecurrentConvLayer = 'convlstm'/'convgru'
+    # ablations; requires recurrent_cell in those two)
     decoder_type: str = "transpose_recurrent"  # 'pixelshuffle_recurrent' |
                                                # 'upsample_conv' (no state)
+    bottleneck_img_add: bool = True        # add deepest image feat in the
+    # first resblock (flagship :199-203); every ablation lineage runs plain
+    # resblocks without the image add
+    apply_resblocks: bool = True           # False: create NO bottleneck
+    # resblocks.  The {bidirection, allbidirection} decoder-recurrent
+    # lineages BUILD resblocks but never call them in forward
+    # (XXNet_decoder_recurrent_bidirection_arch.py:133 builds, forward never
+    # references) — dead params there, absent here.
+    bidir_decoder: bool = False            # all-bidirection lineage: the
+    # backward pass also runs the decoder stack (own states), and forward
+    # decoders fuse the backward decoder state through a 1x1 conv
+    # (XXNet_decoder_recurrent_allbidirection_arch.py:196-199,216-218).
+    # The reference arch is runtime-broken (see archs.py); this is the
+    # fixed-as-intended semantics.  Aliased-states mode only.
     siamese_fusion: Optional[str] = None   # 'se' | 'add': run the image
     # encoder per input frame with shared weights and fuse the two per-scale
     # feature maps AFTER each event-encoder stage (the siamese lineage,
@@ -97,10 +123,14 @@ class _BackwardStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, const, ev_t):
-        states = carry
-        x_blocks, head_kb = const
         cfg = self.cfg
+        if cfg.bidir_decoder:
+            states, dec_states = carry
+        else:
+            states, dec_states = carry, None
+        x_blocks, head_kb = const
         new_states = []
+        e_blocks = []
         # shared event head applied per frame (params owned by the parent);
         # avoids materializing the (b, t, h, w, base) head activation
         e = apply_conv(ev_t, head_kb[0], head_kb[1], 1, 2, relu_slope=0.2,
@@ -114,11 +144,27 @@ class _BackwardStep(nn.Module):
                 use_atten_fuse=i in cfg.atten_fuse_at,
                 fuse_two_direction=False,
                 cell=cfg.recurrent_cell,
+                stage_type=cfg.encoder_stage,
+                use_first_dcn=cfg.use_first_dcn,
                 dtype=cfg.dtype,
                 name=f"enc_{i}",
             )(e, y, states[i], None)
+            e_blocks.append(e)
             new_states.append(s)
         new_states = tuple(new_states)
+        if cfg.bidir_decoder:
+            # the all-bidirection lineage runs the decoder stack in the
+            # backward pass too (no bottleneck resblocks there, arch
+            # forward :196-199); its final states feed the forward decoders
+            new_dec = []
+            for i in range(cfg.num_encoders):
+                skip = e_blocks[cfg.num_encoders - i - 1]
+                out_ch = cfg.encoder_out_sizes[cfg.num_encoders - i - 1] // 2
+                e, s = TransposeRecurrentConvLayer(
+                    out_ch=out_ch, num_block=1, dtype=cfg.dtype,
+                    name=f"dec_{i}")(e + skip, dec_states[i])
+                new_dec.append(s)
+            new_states = (new_states, tuple(new_dec))
         ys = () if cfg.aliased_backward_states else new_states
         return new_states, ys
 
@@ -139,6 +185,9 @@ class _ForwardStep(nn.Module):
         else:
             x_blocks, head, head_kb = const
             ev_t, bwd_states = xs
+        bwd_dec_states = None
+        if cfg.bidir_decoder and cfg.bidirectional:
+            bwd_states, bwd_dec_states = bwd_states
         e_t = apply_conv(ev_t, head_kb[0], head_kb[1], 1, 2, relu_slope=0.2,
                          dtype=cfg.dtype)
 
@@ -155,12 +204,17 @@ class _ForwardStep(nn.Module):
                 out_ch=cfg.encoder_out_sizes[i],
                 num_block=cfg.num_block,
                 use_atten_fuse=i in cfg.atten_fuse_at,
-                fuse_two_direction=cfg.bidirectional,
+                fuse_two_direction=(cfg.bidirectional
+                                    and cfg.encoder_stage != "rec_conv"),
                 cell=cfg.recurrent_cell,
+                stage_type=cfg.encoder_stage,
+                use_first_dcn=cfg.use_first_dcn,
                 dtype=cfg.dtype,
                 name=f"enc_{i}",
             )(e, y, fwd_states[i],
-              bwd_states[i] if cfg.bidirectional else None)
+              bwd_states[i] if (cfg.bidirectional
+                                and cfg.encoder_stage != "rec_conv")
+              else None)
             if siamese:
                 x0f, x1f = x_blocks[i]
                 if cfg.siamese_fusion == "se":
@@ -172,12 +226,16 @@ class _ForwardStep(nn.Module):
             e_blocks.append(e)
             new_fwd.append(s)
 
-        # bottleneck: first resblock adds the deepest image feature (the
-        # siamese lineage has no bottleneck image add, siamese arch :186-188)
-        for i in range(cfg.num_residual_blocks):
-            inp = e + x_blocks[-1] if (i == 0 and not siamese) else e
-            e = ResidualBlock(cfg.max_num_channels, dtype=cfg.dtype,
-                              name=f"res_{i}")(inp)
+        # bottleneck: in the flagship the first resblock adds the deepest
+        # image feature (:199-203); ablation lineages run plain resblocks
+        # (bottleneck_img_add=False; the siamese lineage too, :186-188) or
+        # none at all (apply_resblocks=False, see RefidConfig)
+        if cfg.apply_resblocks:
+            for i in range(cfg.num_residual_blocks):
+                img_add = cfg.bottleneck_img_add and not siamese
+                inp = e + x_blocks[-1] if (i == 0 and img_add) else e
+                e = ResidualBlock(cfg.max_num_channels, dtype=cfg.dtype,
+                                  name=f"res_{i}")(inp)
 
         # recurrent decoder with skip-sums
         decoder_cls = {
@@ -189,9 +247,23 @@ class _ForwardStep(nn.Module):
         for i in range(cfg.num_encoders):
             skip = e_blocks[cfg.num_encoders - i - 1]
             out_ch = cfg.encoder_out_sizes[cfg.num_encoders - i - 1] // 2
-            if cfg.decoder_type == "upsample_conv":
+            if cfg.decoder_type == "pixelshuffle_recurrent":
+                # the ps lineage hardcodes skip_CONCAT for the decoder input
+                # (XXNet_ps_decoder_recurrent_arch.py:171) even though
+                # skip_type='sum' everywhere else — 2x channels in, and the
+                # r=2 shuffle brings them back to out_ch
+                e, s = decoder_cls(out_ch=out_ch, num_block=1, dtype=cfg.dtype,
+                                   name=f"dec_{i}")(
+                                       jnp.concatenate([e, skip], axis=-1),
+                                       dec_states[i])
+            elif cfg.decoder_type == "upsample_conv":
                 e, s = decoder_cls(out_ch=out_ch, dtype=cfg.dtype,
                                    name=f"dec_{i}")(e + skip, dec_states[i])
+            elif bwd_dec_states is not None:
+                e, s = decoder_cls(out_ch=out_ch, num_block=1,
+                                   fuse_two_direction=True, dtype=cfg.dtype,
+                                   name=f"dec_{i}")(e + skip, dec_states[i],
+                                                    bwd_dec_states[i])
             else:
                 e, s = decoder_cls(out_ch=out_ch, num_block=1, dtype=cfg.dtype,
                                    name=f"dec_{i}")(e + skip, dec_states[i])
@@ -264,13 +336,36 @@ class FinalBidirectionAttenfusion(nn.Module):
             x_blocks = tuple(x_blocks)
 
         dt = cfg.dtype or jnp.float32
-        # recurrent states live at PRE-downsample resolution per scale
+        if cfg.encoder_stage == "rec_conv":
+            assert cfg.recurrent_cell in ("convgru", "convlstm"), \
+                "rec_conv stage is the ConvLSTM/ConvGRU lineage"
+        if cfg.bidir_decoder:
+            assert cfg.aliased_backward_states and cfg.bidirectional, \
+                "bidir_decoder replicates the aliased all-bidirection lineage"
+        # recurrent states: PRE-downsample resolution for then_down stages
+        # (the conv downsamples AFTER the cell), POST-down for the k5/s2
+        # conv_down / rec_conv lineages (the conv downsamples first)
+        state_shift = 0 if cfg.encoder_stage == "then_down" else 1
+
         def _zero_state(i):
-            z = jnp.zeros((b, h // 2 ** i, w // 2 ** i,
+            z = jnp.zeros((b, h // 2 ** (i + state_shift),
+                           w // 2 ** (i + state_shift),
                            cfg.encoder_out_sizes[i]), dt)
             return (z, z) if cfg.recurrent_cell == "convlstm" else z
         enc_state_zeros = tuple(_zero_state(i)
                                 for i in range(cfg.num_encoders))
+
+        # decoder states at POST-upsample resolution per decoder stage
+        dec_state_zeros = tuple(
+            jnp.zeros((b,
+                       h // 2 ** (cfg.num_encoders - i - 1),
+                       w // 2 ** (cfg.num_encoders - i - 1),
+                       cfg.encoder_out_sizes[cfg.num_encoders - i - 1] // 2),
+                      dt)
+            for i in range(cfg.num_encoders))
+
+        bwd_carry0 = ((enc_state_zeros, dec_state_zeros)
+                      if cfg.bidir_decoder else enc_state_zeros)
 
         back_cls = _BackwardStep
         fwd_cls = _ForwardStep
@@ -281,7 +376,7 @@ class FinalBidirectionAttenfusion(nn.Module):
         if cfg.bidirectional:
             if cfg.unroll:
                 bwd_mod = back_cls(cfg, name="bwd")
-                states = enc_state_zeros
+                states = bwd_carry0
                 ys_by_time = [None] * t
                 for k in range(t - 1, -1, -1):
                     states, ys = bwd_mod(states, (x_blocks, head_kb),
@@ -299,18 +394,9 @@ class FinalBidirectionAttenfusion(nn.Module):
                     split_rngs={"params": False},
                     in_axes=(nn.broadcast, 1), out_axes=1, reverse=True)
                 bwd_final, bwd_stack = BackScan(cfg, name="bwd")(
-                    enc_state_zeros, (x_blocks, head_kb), event)
+                    bwd_carry0, (x_blocks, head_kb), event)
         else:
             bwd_final, bwd_stack = enc_state_zeros, None
-
-        # decoder states at POST-upsample resolution per decoder stage
-        dec_state_zeros = tuple(
-            jnp.zeros((b,
-                       h // 2 ** (cfg.num_encoders - i - 1),
-                       w // 2 ** (cfg.num_encoders - i - 1),
-                       cfg.encoder_out_sizes[cfg.num_encoders - i - 1] // 2),
-                      dt)
-            for i in range(cfg.num_encoders))
 
         carry0 = (enc_state_zeros, dec_state_zeros)
         if cfg.aliased_backward_states or not cfg.bidirectional:

@@ -49,7 +49,9 @@ class BlurVFIPipeline:
             fast = (cfg.bidirectional and cfg.aliased_backward_states
                     and cfg.recurrent_cell == "simpleconv"
                     and cfg.num_block == 1 and cfg.siamese_fusion is None
-                    and cfg.decoder_type == "transpose_recurrent")
+                    and cfg.decoder_type == "transpose_recurrent"
+                    and cfg.num_encoders >= 2)  # packed decoder folds the
+                    # last two stages (fast_forward.py)
         self.fast = fast
 
         @partial(jax.jit, static_argnames=("height", "width"))
@@ -68,12 +70,22 @@ class BlurVFIPipeline:
                 [blur0, vox[..., 1:m], blur1, vox[..., m + 2 + n:]],
                 axis=-1)[None]                              # (1,h,w,26)
             t = self.num_bins - 1
+            if self.fast:
+                # emit the PRE-PACKED serving format straight from the voxel
+                # grid: s2d(2,2) bin pairs (1, t, h/2, w/2, 8).  The
+                # full-resolution 2-channel pair stack (64x lane-padded in
+                # HBM) never materializes; XLA fuses the slice+reshape into
+                # the scatter output.  Exactness: identical ops to
+                # fast_forward's internal repack (tests/test_fast_forward).
+                from refid_tpu.serve import fast_forward
+                from refid_tpu.serve.packing import space_to_depth
+                pairs_t = jnp.stack([vox[..., i:i + 2] for i in range(t)],
+                                    axis=0)                 # (t,h,w,2)
+                packed = space_to_depth(pairs_t, 2)[None]   # (1,t,h/2,w/2,8)
+                return fast_forward(params, self.cfg, lq, packed,
+                                    packed=True)[0]
             pairs = jnp.stack([vox[..., i:i + 2] for i in range(t)],
                               axis=0)[None]                 # (1,t,h,w,2)
-            if self.fast:
-                from refid_tpu.serve import fast_forward
-                return fast_forward(params, self.cfg, lq, pairs,
-                                    packed=True)[0]
             return self.model.apply(params, lq, pairs)[0]   # (t,h,w,3)
 
         self._run = _run

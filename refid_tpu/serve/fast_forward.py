@@ -232,6 +232,8 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
     assert cfg.recurrent_cell == "simpleconv" and cfg.num_block == 1
     assert cfg.decoder_type == "transpose_recurrent"
     assert cfg.siamese_fusion is None
+    assert cfg.num_encoders >= 2, \
+        "packed decoder folds the last two stages; need >=2 encoders"
     p = params["params"] if "params" in params else params
     dt = cfg.dtype
     atten_at = tuple(cfg.atten_fuse_at)

@@ -73,17 +73,25 @@ def build_optimizer(train_opt: dict, total_iter: int):
     else:
         raise ValueError(f"unknown optimizer {typ!r}")
 
-    # Per-param-group LR for deformable-conv offsets (parity: the reference
-    # puts params under 'offsets'/'dcns' in a 0.1x-lr group,
-    # twoImage_event_recurrent_model.py:67-95).  Scaling the post-optimizer
-    # update equals scaling that group's lr — AdamW updates are linear in lr.
-    mult = train_opt.get("dcn_lr_mult", 0.1)
+    # Per-param-group LR for deformable-conv offsets.  The reference's group
+    # matches only TOP-LEVEL modules named 'offsets'/'dcns'
+    # (k.startswith('module.offsets'), twoImage_event_recurrent_model.py:74)
+    # — no REFID arch has those, so the 0.1x group is EMPTY in every shipped
+    # recipe; hence the default here is 1.0 (no-op).  When set != 1, the mask
+    # is scoped to exact module-name keys: the reference's top-level
+    # 'offsets'/'dcns', plus 'conv_offset' (this repo's
+    # ModulatedDeformConvPack side conv — the use_first_dcn analog).
+    # Scaling the post-optimizer update equals scaling that group's lr —
+    # AdamW updates are linear in lr.
+    mult = train_opt.get("dcn_lr_mult", 1.0)
     if mult != 1.0:
         def _dcn_mask(params):
             def is_dcn(path):
-                return any("offset" in str(getattr(k, "key", k)).lower()
-                           or "dcn" in str(getattr(k, "key", k)).lower()
-                           for k in path)
+                keys = [str(getattr(k, "key", k)) for k in path]
+                if keys and keys[0] == "params":  # flax collection wrapper
+                    keys = keys[1:]
+                return (any(k == "conv_offset" for k in keys)
+                        or (keys and keys[0] in ("offsets", "dcns")))
             return jax.tree_util.tree_map_with_path(
                 lambda p, _: is_dcn(p), params)
         parts.append(optax.masked(optax.scale(mult), _dcn_mask))

@@ -5,13 +5,14 @@ without the fused Pallas trunk).
 Usage: python scripts/bench_e2e.py [model|fast|fused ...] [--t N]
 """
 
+import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -7,13 +7,14 @@ barrier, 1-iteration run subtracted for dispatch overhead.
 Usage: python scripts/bench_trunk.py [shape_index ...]
 """
 
+import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -189,6 +189,7 @@ def test_unroll_matches_scan_exactly(aliased):
     np.testing.assert_array_equal(out_scan, out_unroll)
 
 
+@pytest.mark.slow
 def test_forward_parity_production_shape():
     """Parity at the shapes released checkpoints actually use: t=23, 256x256,
     base=32, img_chn=26 (blur-VFI 11+1).  Error compounds across 23 scan
@@ -221,6 +222,7 @@ def test_forward_parity_production_shape():
     assert psnr_db >= 60.0, f"production-shape parity only {psnr_db:.1f} dB"
 
 
+@pytest.mark.slow
 def test_gradient_parity_t8():
     """Input gradients (through both temporal loops, all scales, EGACA and
     the hand-written LayerNorm2d backward, decoder) must match torch

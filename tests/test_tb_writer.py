@@ -158,3 +158,37 @@ def test_train_cli_writes_tb_events(tmp_path):
     assert any(k.startswith("losses/") for k in all_scalars), all_scalars
     assert "learning_rate" in all_scalars
     assert any(k.startswith("metrics/") for k in all_scalars), all_scalars
+
+
+def test_wandb_logger_stub_and_fake(tmp_path, caplog):
+    """init_wandb_logger (reference logger.py:87-110 tb-sync mode): absent
+    wandb package -> clean warning + None; with a fake wandb module ->
+    init called with sync_tensorboard=True and the resume-id semantics."""
+    import logging
+    import sys
+    import types
+    from refid_tpu.core.logging_util import init_wandb_logger
+
+    opt = {"name": "exp", "logger": {"wandb": {"project": "proj"}}}
+    assert "wandb" not in sys.modules
+    with caplog.at_level(logging.WARNING, logger="refid_tpu"):
+        assert init_wandb_logger(opt) is None  # package absent: no crash
+    assert any("wandb package is not installed" in r.message
+               for r in caplog.records)
+
+    calls = {}
+    fake = types.ModuleType("wandb")
+    fake.util = types.SimpleNamespace(generate_id=lambda: "genid")
+    fake.init = lambda **kw: calls.update(kw)
+    sys.modules["wandb"] = fake
+    try:
+        assert init_wandb_logger(opt) == "genid"
+        assert calls["sync_tensorboard"] is True
+        assert calls["project"] == "proj" and calls["resume"] == "never"
+        opt["logger"]["wandb"]["resume_id"] = "abc123"
+        assert init_wandb_logger(opt) == "abc123"
+        assert calls["resume"] == "allow" and calls["id"] == "abc123"
+        # no project -> disabled
+        assert init_wandb_logger({"name": "x", "logger": {}}) is None
+    finally:
+        del sys.modules["wandb"]

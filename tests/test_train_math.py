@@ -297,8 +297,12 @@ def test_srn_and_tv_losses():
 
 
 def test_dcn_lr_mult_param_group():
-    """Params under 'offsets'/'dcn' paths get 0.1x-lr updates (parity:
-    twoImage_event_recurrent_model.py:67-95 optim_params_lowlr group)."""
+    """When dcn_lr_mult is set, top-level 'offsets'/'dcns' modules (the
+    reference's exact match, twoImage_event_recurrent_model.py:74) and
+    'conv_offset' side convs get scaled updates; other params (even ones
+    whose names merely CONTAIN 'offset') do not.  The DEFAULT is 1.0 — the
+    reference's low-lr group is empty for every REFID arch (no top-level
+    offsets/dcns modules exist)."""
     import jax
     import jax.numpy as jnp
     from refid_tpu.train.trainer import build_optimizer
@@ -307,17 +311,33 @@ def test_dcn_lr_mult_param_group():
                              "betas": [0.9, 0.99], "weight_decay": 0.0},
                  "scheduler": {"type": "TrueCosineAnnealingLR",
                                "T_max": 1000000, "eta_min": 1e-3},
-                 "grad_clip_norm": 0, "warmup_iter": -1}
+                 "grad_clip_norm": 0, "warmup_iter": -1,
+                 "dcn_lr_mult": 0.1}
     tx, _ = build_optimizer(train_opt, 1000000)
     params = {"conv": {"kernel": jnp.ones((3,))},
-              "offsets": {"kernel": jnp.ones((3,))}}
+              "offsets": {"kernel": jnp.ones((3,))},
+              "offset_embed": {"kernel": jnp.ones((3,))},  # substring trap
+              "enc_0": {"conv": {"conv_offset": {"kernel": jnp.ones((3,))}}}}
     state = tx.init(params)
     grads = jax.tree.map(jnp.ones_like, params)
     updates, _ = tx.update(grads, state, params)
+    reg = np.asarray(updates["conv"]["kernel"])
     # identical grads: offsets update must be exactly 0.1x the regular one
     np.testing.assert_allclose(np.asarray(updates["offsets"]["kernel"]),
-                               0.1 * np.asarray(updates["conv"]["kernel"]),
-                               rtol=1e-6)
+                               0.1 * reg, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(updates["enc_0"]["conv"]["conv_offset"]["kernel"]),
+        0.1 * reg, rtol=1e-6)
+    # a param merely containing 'offset' in its name is NOT scaled
+    np.testing.assert_allclose(np.asarray(updates["offset_embed"]["kernel"]),
+                               reg, rtol=1e-6)
+
+    # default: no dcn_lr_mult key -> identity (reference group is empty)
+    t2 = {k: v for k, v in train_opt.items() if k != "dcn_lr_mult"}
+    tx2, _ = build_optimizer(t2, 1000000)
+    u2, _ = tx2.update(grads, tx2.init(params), params)
+    np.testing.assert_allclose(np.asarray(u2["offsets"]["kernel"]),
+                               np.asarray(u2["conv"]["kernel"]), rtol=1e-6)
 
 
 def test_adamw_clip_step_matches_torch():
