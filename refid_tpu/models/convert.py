@@ -106,11 +106,32 @@ def convert_state_dict(state_dict: Dict, cfg: RefidConfig) -> Dict:
         flat[f"{f}/identity/bias"] = _vec(src[f"{t}.identity.bias"])
         flat[f"{f}/down/kernel"] = _conv_w(src[f"{t}.down.weight"])
 
-    for direction, tname in [("bwd", "encoders_backward"),
-                             ("fwd", "encoders_forward")]:
+    assert cfg.siamese_fusion is None, \
+        "the torch siamese archs are runtime-broken; no weights to convert"
+    directions = ([("bwd", "encoders_backward"), ("fwd", "encoders_forward")]
+                  if cfg.bidirectional else [("fwd", "encoders")])
+    for direction, tname in directions:
         for i in range(cfg.num_encoders):
             t = f"{tname}.{i}"
             f = f"{direction}/enc_{i}"
+            if cfg.encoder_stage == "rec_conv":
+                # RecurrentConvLayer (recurrent_sub_modules.py:88-111):
+                # plain conv + ConvLSTM 'Gates' / ConvGRU three gate convs
+                flat[f"{f}/conv/kernel"] = _conv_w(
+                    src[f"{t}.conv.conv2d.weight"])
+                flat[f"{f}/conv/bias"] = _vec(src[f"{t}.conv.conv2d.bias"])
+                rb = f"{t}.recurrent_block"
+                if cfg.recurrent_cell == "convlstm":
+                    flat[f"{f}/rec/gates/kernel"] = _conv_w(
+                        src[f"{rb}.Gates.weight"])
+                    flat[f"{f}/rec/gates/bias"] = _vec(src[f"{rb}.Gates.bias"])
+                else:  # convgru
+                    for g in ["reset_gate", "update_gate", "out_gate"]:
+                        flat[f"{f}/rec/{g}/kernel"] = _conv_w(
+                            src[f"{rb}.{g}.weight"])
+                        flat[f"{f}/rec/{g}/bias"] = _vec(
+                            src[f"{rb}.{g}.bias"])
+                continue  # no trunk / fuse / down in this lineage
             # scale 0 never receives an image feature, so it always uses the
             # plain conv, even when attention is configured for that index
             if i in cfg.atten_fuse_at and i != 0:
@@ -120,21 +141,33 @@ def convert_state_dict(state_dict: Dict, cfg: RefidConfig) -> Dict:
                 flat[f"{f}/conv/conv/bias"] = _vec(src[f"{t}.conv.conv2d.bias"])
             _trunk_map(flat, src, f"{t}.recurrent_block.forward_trunk",
                        f"{f}/rec/trunk")
-            flat[f"{f}/down/kernel"] = _conv_w(src[f"{t}.down.weight"])
-            if direction == "fwd":
+            if cfg.encoder_stage == "then_down":
+                flat[f"{f}/down/kernel"] = _conv_w(src[f"{t}.down.weight"])
+            if direction == "fwd" and cfg.bidirectional:
                 flat[f"{f}/fuse_bidir/conv/kernel"] = _conv_w(
                     src[f"{t}.fuse_two_dir.conv2d.weight"])
                 flat[f"{f}/fuse_bidir/conv/bias"] = _vec(
                     src[f"{t}.fuse_two_dir.conv2d.bias"])
 
-    for i in range(cfg.num_residual_blocks):
-        for c in ["conv1", "conv2"]:
-            flat[f"fwd/res_{i}/{c}/kernel"] = _conv_w(src[f"resblocks.{i}.{c}.weight"])
-            flat[f"fwd/res_{i}/{c}/bias"] = _vec(src[f"resblocks.{i}.{c}.bias"])
+    if cfg.apply_resblocks:
+        for i in range(cfg.num_residual_blocks):
+            for c in ["conv1", "conv2"]:
+                flat[f"fwd/res_{i}/{c}/kernel"] = _conv_w(src[f"resblocks.{i}.{c}.weight"])
+                flat[f"fwd/res_{i}/{c}/bias"] = _vec(src[f"resblocks.{i}.{c}.bias"])
 
     for i in range(cfg.num_encoders):
         t = f"decoders.{i}"
         f = f"fwd/dec_{i}"
+        if cfg.decoder_type == "upsample_conv":
+            # BaseUNet bilinear-k5 UpsampleConvLayer (XXNet_arch.py:62-69)
+            flat[f"{f}/conv/kernel"] = _conv_w(src[f"{t}.conv2d.weight"])
+            flat[f"{f}/conv/bias"] = _vec(src[f"{t}.conv2d.bias"])
+            continue
+        if cfg.decoder_type == "pixelshuffle_recurrent":
+            # shuffle has no params; the trunk consumes torch channel order
+            # (models/recurrent.py PixelShuffleRecurrentConvLayer)
+            _trunk_map(flat, src, f"{t}.forward_trunk", f"{f}/trunk")
+            continue
         flat[f"{f}/up/kernel"] = _deconv_w(src[f"{t}.transposed_conv2d.weight"])
         flat[f"{f}/up/bias"] = _vec(src[f"{t}.transposed_conv2d.bias"])
         _trunk_map(flat, src, f"{t}.forward_trunk", f"{f}/trunk")

@@ -229,9 +229,10 @@ class PixelShuffleRecurrentConvLayer(nn.Module):
     @nn.compact
     def __call__(self, x, prev_state):
         b, h, w, c = x.shape
-        # NHWC pixel shuffle r=2: (b,h,w,c) -> (b,2h,2w,c/4)
-        out = x.reshape(b, h, w, 2, 2, c // 4)
-        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c // 4)
+        # NHWC pixel shuffle r=2 in torch's channel order (out channel cc
+        # draws input channel cc*4 + dy*2 + dx) so converted weights map 1:1
+        out = x.reshape(b, h, w, c // 4, 2, 2)
+        out = out.transpose(0, 1, 4, 2, 5, 3).reshape(b, 2 * h, 2 * w, c // 4)
         out = jnp.concatenate([out, prev_state], axis=-1)
         out = ConvResidualBlocks(self.out_ch, self.num_block,
                                  dtype=self.dtype, name="trunk")(out)

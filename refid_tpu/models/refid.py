@@ -68,6 +68,10 @@ class RefidConfig:
     unroll: bool = False                   # trace-time loop instead of scan
                                            # (same params; lets XLA pick one
                                            # layout across all t steps)
+    scan_unroll: int = 1                   # lax.scan unroll factor: XLA
+    # unrolls this many steps per while-loop iteration — bounded-graph
+    # middle ground between scan (compile-fast, layout-thrash) and full
+    # unroll (the relay's compile helper dies on the t=23 training graph)
     dtype: Optional[Any] = None            # compute dtype (None -> f32)
     # --- ablation axes (paper lineage, expressed as flags instead of the
     # reference's per-variant arch files XXNet_*_arch.py) ---
@@ -392,7 +396,8 @@ class FinalBidirectionAttenfusion(nn.Module):
                 BackScan = nn.scan(
                     back_cls, variable_broadcast="params",
                     split_rngs={"params": False},
-                    in_axes=(nn.broadcast, 1), out_axes=1, reverse=True)
+                    in_axes=(nn.broadcast, 1), out_axes=1, reverse=True,
+                    unroll=cfg.scan_unroll)
                 bwd_final, bwd_stack = BackScan(cfg, name="bwd")(
                     bwd_carry0, (x_blocks, head_kb), event)
         else:
@@ -417,7 +422,7 @@ class FinalBidirectionAttenfusion(nn.Module):
         FwdScan = nn.scan(
             fwd_cls, variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(nn.broadcast, 1), out_axes=1)
+            in_axes=(nn.broadcast, 1), out_axes=1, unroll=cfg.scan_unroll)
         _, out = FwdScan(cfg, name="fwd")(carry0, const, xs)
         return out
 

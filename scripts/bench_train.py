@@ -42,6 +42,14 @@ def build_variants():
         "bf16_unroll_remat": dict(dtype=jnp.bfloat16, remat=True,
                                   unroll=True),
         "f32_unroll": dict(dtype=None, remat=False, unroll=True),
+        # partial scan unroll: bounded graph, fewer loop-boundary layouts
+        "bf16_remat_su4": dict(dtype=jnp.bfloat16, remat=True,
+                               scan_unroll=4),
+        "bf16_remat_su8": dict(dtype=jnp.bfloat16, remat=True,
+                               scan_unroll=8),
+        "bf16_su4": dict(dtype=jnp.bfloat16, scan_unroll=4),
+        "bf16_remat_su23": dict(dtype=jnp.bfloat16, remat=True,
+                                scan_unroll=23),
     }
 
 
