@@ -100,9 +100,19 @@ def _egaca(p, event_feat, image_feat, dtype=None):
     return y + ffn * _cast(p["gamma"], dtype)
 
 
-def _trunk(p, x, state, dtype=None, fused=False, interpret=False):
-    """ConvResidualBlocks num_block=1 over [x, state]."""
+def _trunk(p, x, state, dtype=None, fused=False, interpret=False, q=None):
+    """ConvResidualBlocks num_block=1 over [x, state].  ``q`` (a kernel-quant
+    memo dict) routes the three convs through int8 MXU arithmetic
+    (serve/quant.py) — NOT exact math, gated on measured dB."""
     ci, b0 = p["conv_in"], p["block_0"]
+    if q is not None:
+        from refid_tpu.serve.quant import conv_int8
+        h = conv_int8(ci, jnp.concatenate([x, state], axis=-1), padding=1,
+                      slope=0.1, out_dtype=dtype, cache=q)
+        h1 = conv_int8(b0["conv1"], h, padding=1, relu=True,
+                       out_dtype=dtype, cache=q)
+        return h + conv_int8(b0["conv2"], h1, padding=1, out_dtype=dtype,
+                             cache=q)
     if fused == "aligned" and x.shape[-1] < 128 and not interpret:
         # lane-unaligned trunks fall back to XLA (the kernel would have to
         # channel-pad its inputs, which costs an extra full-res buffer per
@@ -126,7 +136,7 @@ def _trunk(p, x, state, dtype=None, fused=False, interpret=False):
 
 
 def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
-               fused=False, interpret=False, opt=False):
+               fused=False, interpret=False, opt=False, q=None):
     """RecurrentEncoderStage (models/recurrent.py:89-145), simpleconv cell.
 
     ``opt`` enables two profile-guided algebraic rewrites (exact math):
@@ -138,25 +148,31 @@ def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
         summed (no concat materialization) — for a 1x1 there is no tap
         structure to lose, unlike the 3x3 case PERFORMANCE.md rejected.
     """
+    if q is not None:
+        from refid_tpu.serve.quant import conv_int8
     if y is None:
-        if opt:
-            e = _conv(p["conv"]["conv"], e, padding=1, slope=0.04,
-                      dtype=dtype)
+        slope = 0.04 if opt else 0.2
+        if q is not None:
+            e = conv_int8(p["conv"]["conv"], e, padding=1, slope=slope,
+                          out_dtype=dtype, cache=q)
         else:
-            e = _conv(p["conv"]["conv"], e, padding=1, slope=0.2,
+            e = _conv(p["conv"]["conv"], e, padding=1, slope=slope,
                       dtype=dtype)
+        if not opt:
             e = jnp.maximum(e, e * 0.2)  # ConvLayer + stage's extra lrelu
     elif i in atten_at:
         e = _egaca(p["atten"], e, y, dtype)
     else:
-        if opt:
-            e = _conv(p["conv"]["conv"], e + y, padding=1, slope=0.04,
-                      dtype=dtype)
+        slope = 0.04 if opt else 0.2
+        if q is not None:
+            e = conv_int8(p["conv"]["conv"], e + y, padding=1, slope=slope,
+                          out_dtype=dtype, cache=q)
         else:
-            e = _conv(p["conv"]["conv"], e + y, padding=1, slope=0.2,
+            e = _conv(p["conv"]["conv"], e + y, padding=1, slope=slope,
                       dtype=dtype)
+        if not opt:
             e = jnp.maximum(e, e * 0.2)
-    e = _trunk(p["rec"]["trunk"], e, state, dtype, fused, interpret)
+    e = _trunk(p["rec"]["trunk"], e, state, dtype, fused, interpret, q=q)
     new_state = e
     if bwd_state is not None:
         pf = p["fuse_bidir"]["conv"]
@@ -170,7 +186,11 @@ def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
         else:
             e = _conv(pf, jnp.concatenate([e, bwd_state], axis=-1),
                       slope=0.2, dtype=dtype)
-    e = _conv(p["down"], e, stride=2, padding=1, dtype=dtype)
+    if q is not None:
+        e = conv_int8(p["down"], e, stride=2, padding=1, out_dtype=dtype,
+                      cache=q)
+    else:
+        e = _conv(p["down"], e, stride=2, padding=1, dtype=dtype)
     return e, new_state
 
 
@@ -212,7 +232,7 @@ def _enc_stage0_folded(p, e_f2, state_f2, bwd_f2, dtype=None, kc=None):
 
 
 def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
-                 interpret=False):
+                 interpret=False, int8=False):
     """Production blur-VFI forward (aliased backward states), trace-time
     unrolled.  x (b, h, w, img_chn) or (b, 2, h, w, c); event
     (b, t, h, w, ev_chn).  Returns (b, t, h, w, out_chn).
@@ -238,6 +258,11 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
     dt = cfg.dtype
     atten_at = tuple(cfg.atten_fuse_at)
     n_enc = cfg.num_encoders
+    # int8: route the MXU-peak convs (scales >= 1, bottleneck, decoder-0
+    # trunk) through int8 arithmetic (serve/quant.py).  NOT exact math —
+    # qualified by measured dB vs f32 (tests/test_quant.py) the way bf16
+    # was; scale-0 folded path, EGACA, and transposed convs stay bf16.
+    qcache = {} if int8 else None
 
     if x.ndim == 5:
         x = jnp.concatenate([x[:, i] for i in range(x.shape[1])], axis=-1)
@@ -309,7 +334,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             else:
                 e, states[i] = _enc_stage(
                     p["bwd"][f"enc_{i}"], i, atten_at, e, y, states[i],
-                    None, dt, fused, interpret, opt=packed)
+                    None, dt, fused, interpret, opt=packed, q=qcache)
     bwd_final = states
 
     # forward scan + bottleneck + recurrent decoder + prediction
@@ -337,13 +362,20 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             else:
                 e, fwd_states[i] = _enc_stage(
                     p["fwd"][f"enc_{i}"], i, atten_at, e, y, fwd_states[i],
-                    bwd_final[i], dt, fused, interpret, opt=packed)
+                    bwd_final[i], dt, fused, interpret, opt=packed, q=qcache)
             e_blocks.append(e)
         for j in range(cfg.num_residual_blocks):
             pr = p["fwd"][f"res_{j}"]
             inp = e + x_blocks[-1] if j == 0 else e
-            o = jax.nn.relu(_conv(pr["conv1"], inp, padding=1, dtype=dt))
-            o = _conv(pr["conv2"], o, padding=1, dtype=dt)
+            if qcache is not None:
+                from refid_tpu.serve.quant import conv_int8
+                o = conv_int8(pr["conv1"], inp, padding=1, relu=True,
+                              out_dtype=dt, cache=qcache)
+                o = conv_int8(pr["conv2"], o, padding=1, out_dtype=dt,
+                              cache=qcache)
+            else:
+                o = jax.nn.relu(_conv(pr["conv1"], inp, padding=1, dtype=dt))
+                o = _conv(pr["conv2"], o, padding=1, dtype=dt)
             e = jax.nn.relu(o + inp)
         for i in range(n_enc):
             pd = p["fwd"][f"dec_{i}"]
@@ -367,7 +399,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             else:
                 up = _conv_transpose_up(pd["up"], e + skip, dt)
                 e = _trunk(pd["trunk"], up, dec_states[i], dt, fused,
-                           interpret)
+                           interpret, q=qcache)
             dec_states[i] = e
         if packed:
             pk = p["fwd"]["pred"]["conv"]

@@ -1,0 +1,70 @@
+"""int8 quantized-serving primitives (v5e MXU: 394 int8 TOPS vs 197 bf16
+TFLOP/s — the only arithmetic that clears the 84 fps bf16 exact-math
+ceiling, PERFORMANCE.md "Remaining headroom").
+
+Scheme: symmetric int8.
+  * weights: PER-OUTPUT-CHANNEL scales, quantized at trace time from the
+    f32 params (cached per trace like the folded kernels).
+  * activations: per-tensor DYNAMIC scale (amax / 127), computed on device
+    per conv input.  No calibration data needed; the amax reduction and
+    quantize pass are XLA-fused into neighbors where possible.
+
+Accumulation in int32, rescale in f32, bias + activation in the f32/bf16
+epilogue.  Exactness: this is NOT exact math — gate on measured dB vs the
+f32 forward (tests/test_quant.py) the way bf16 was qualified (65 dB).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["quantize_kernel", "quantize_act", "conv_int8"]
+
+
+def quantize_kernel(k, cache=None):
+    """(kh, kw, ci, co) f32 -> (int8 kernel, f32 per-co scale)."""
+    if cache is not None and id(k) in cache:
+        return cache[id(k)]
+    kf = k.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kf), axis=(0, 1, 2))          # (co,)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    kq = jnp.clip(jnp.round(kf / scale), -127, 127).astype(jnp.int8)
+    out = (kq, scale)
+    if cache is not None:
+        cache[id(k)] = out
+    return out
+
+
+def quantize_act(x):
+    """Per-tensor dynamic symmetric quantization -> (int8 x, f32 scale)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                  -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def conv_int8(p, x, stride=1, padding=0, slope=None, relu=False,
+              out_dtype=None, cache=None):
+    """Drop-in for serve.fast_forward._conv with int8 MXU arithmetic.
+
+    ``p`` holds f32/bf16 {kernel, bias}; the kernel is quantized at trace
+    time (memoized via ``cache``), the input dynamically on device.
+    """
+    kq, wscale = quantize_kernel(p["kernel"], cache)
+    xq, xscale = quantize_act(x)
+    y = jax.lax.conv_general_dilated(
+        xq, kq, (stride, stride), [(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (wscale * xscale)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    if out_dtype is not None:
+        y = y.astype(out_dtype)
+    if relu:
+        y = jax.nn.relu(y)
+    elif slope is not None:
+        y = jnp.maximum(y, y * slope)
+    return y

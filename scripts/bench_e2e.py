@@ -75,6 +75,8 @@ def main():
                                               packed=False),
         "packed": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
                                                 packed=True),
+        "int8": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
+                                              packed=True, int8=True),
         "fused": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=True,
                                                packed=False),
         "fused_aligned": lambda p, x, ev: fast_forward(
