@@ -105,11 +105,13 @@ def main(argv=None):
     logger.info(f"start training from iter {current_iter} to {total_iter}")
     while current_iter < total_iter:
         train_loader.set_epoch(epoch)
-        for batch in train_loader:
+        # async H2D double-buffer: batch k+1's device transfer is enqueued
+        # while step k runs (reference CUDAPrefetcher analog)
+        for dev_batch in task.device_prefetch(train_loader):
             if current_iter >= total_iter:
                 break
             current_iter += 1
-            metrics = task.train_step(batch)
+            metrics = task.train_step_device(dev_batch)
             if current_iter % opt.get("logger", {}).get("print_freq", 100) == 0:
                 log_vars = {"iter": current_iter, "epoch": epoch,
                             "lr": task.current_lr(),

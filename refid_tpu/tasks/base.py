@@ -130,13 +130,37 @@ class RestorationTaskBase:
 
     # --- steps ----------------------------------------------------------------
 
-    def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
-        dev_batch = shard_batch(
+    def _to_device(self, batch: Dict[str, np.ndarray]):
+        return shard_batch(
             {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
             self.mesh)
+
+    def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        return self.train_step_device(self._to_device(batch))
+
+    def train_step_device(self, dev_batch) -> Dict[str, float]:
         self.state, metrics = self._train_step(
             self.state, dev_batch["lq"], dev_batch["voxel"], dev_batch["gt"])
         return metrics
+
+    def device_prefetch(self, batch_iter, depth: int = 2):
+        """Async H2D double-buffer (the CUDAPrefetcher analog,
+        prefetch_dataloader.py:84-126): ``device_put`` of batch k+1 is
+        ENQUEUED before step k+1 is dispatched, so the transfer rides the
+        async dispatch stream under the running step instead of
+        serializing behind host dataloading."""
+        import collections
+        import itertools
+        q = collections.deque()
+        it = iter(batch_iter)
+        for b in itertools.islice(it, depth):
+            q.append(self._to_device(b))
+        while q:
+            out = q.popleft()
+            nxt = next(it, None)
+            if nxt is not None:
+                q.append(self._to_device(nxt))
+            yield out
 
     def predict(self, lq: np.ndarray, voxel: np.ndarray,
                 use_ema: bool = False) -> np.ndarray:
