@@ -194,12 +194,22 @@ def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
     return e, new_state
 
 
-def _trunk_folded(p, x_f, s_f, r, dtype=None, kc=None):
+def _trunk_folded(p, x_f, s_f, r, dtype=None, kc=None, q=None):
     """ConvResidualBlocks over width-fold-r inputs (exact reparameterization
-    — serve/packing.py)."""
+    — serve/packing.py).  ``q`` routes the three folded convs through int8
+    (serve/quant.py conv_s2d_int8) — not exact math, dB-gated."""
     from refid_tpu.serve.packing import conv_s2d, fold_concat
     ci, b0 = p["conv_in"], p["block_0"]
     cat = fold_concat([x_f, s_f], r)
+    if q is not None:
+        from refid_tpu.serve.quant import conv_s2d_int8
+        h = conv_s2d_int8(cat, ci["kernel"], ci["bias"], (1, r),
+                          out_dtype=dtype, slope=0.1, cache=q)
+        h1 = conv_s2d_int8(h, b0["conv1"]["kernel"], b0["conv1"]["bias"],
+                           (1, r), out_dtype=dtype, relu=True, cache=q)
+        return h + conv_s2d_int8(h1, b0["conv2"]["kernel"],
+                                 b0["conv2"]["bias"], (1, r),
+                                 out_dtype=dtype, cache=q)
     h = conv_s2d(cat, ci["kernel"], ci["bias"], (1, r), dtype, cache=kc)
     h = jnp.maximum(h, 0.1 * h)
     h1 = jax.nn.relu(conv_s2d(h, b0["conv1"]["kernel"],
@@ -208,7 +218,8 @@ def _trunk_folded(p, x_f, s_f, r, dtype=None, kc=None):
                         (1, r), dtype, cache=kc)
 
 
-def _enc_stage0_folded(p, e_f2, state_f2, bwd_f2, dtype=None, kc=None):
+def _enc_stage0_folded(p, e_f2, state_f2, bwd_f2, dtype=None, kc=None,
+                       q=None):
     """Scale-0 encoder stage entirely in width-fold-2 (64ch -> 128 lanes):
     the full-resolution 32/64-channel tensors that pay 2-4x lane-padding
     tax in HBM never exist.  Exact math; the chained lrelus collapse to one
@@ -217,7 +228,7 @@ def _enc_stage0_folded(p, e_f2, state_f2, bwd_f2, dtype=None, kc=None):
     pc = p["conv"]["conv"]
     e = conv_s2d(e_f2, pc["kernel"], pc["bias"], (1, 2), dtype, cache=kc)
     e = jnp.maximum(e, 0.04 * e)
-    e = _trunk_folded(p["rec"]["trunk"], e, state_f2, 2, dtype, kc=kc)
+    e = _trunk_folded(p["rec"]["trunk"], e, state_f2, 2, dtype, kc=kc, q=q)
     new_state = e
     if bwd_f2 is not None:
         pf = p["fuse_bidir"]["conv"]
@@ -330,7 +341,8 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             y = None if i == 0 else x_blocks[i - 1]
             if packed and i == 0:
                 e, states[0] = _enc_stage0_folded(
-                    p["bwd"]["enc_0"], e, states[0], None, dt, kc=kcache)
+                    p["bwd"]["enc_0"], e, states[0], None, dt, kc=kcache,
+                    q=qcache)
             else:
                 e, states[i] = _enc_stage(
                     p["bwd"][f"enc_{i}"], i, atten_at, e, y, states[i],
@@ -358,7 +370,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             if packed and i == 0:
                 e, fwd_states[0] = _enc_stage0_folded(
                     p["fwd"]["enc_0"], e, fwd_states[0], bwd_final[0], dt,
-                    kc=kcache)
+                    kc=kcache, q=qcache)
             else:
                 e, fwd_states[i] = _enc_stage(
                     p["fwd"][f"enc_{i}"], i, atten_at, e, y, fwd_states[i],
@@ -386,7 +398,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
                     e + skip, pd["up"]["kernel"], pd["up"]["bias"], dt,
                     r_in=1, r_out=2)
                 e = _trunk_folded(pd["trunk"], up, dec_states[i], 2, dt,
-                                  kc=kcache)
+                                  kc=kcache, q=qcache)
             elif packed and i == n_enc - 1:
                 # full-res decoder stage in width-fold-4 (32ch -> 128 lanes)
                 # e is width-fold-2 from dec_1; the skip folds to match
@@ -395,7 +407,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
                     e + skip_f2, pd["up"]["kernel"], pd["up"]["bias"], dt,
                     r_in=2, r_out=4)
                 e = _trunk_folded(pd["trunk"], up, dec_states[i], 4, dt,
-                                  kc=kcache)
+                                  kc=kcache, q=qcache)
             else:
                 up = _conv_transpose_up(pd["up"], e + skip, dt)
                 e = _trunk(pd["trunk"], up, dec_states[i], dt, fused,

@@ -68,3 +68,38 @@ def conv_int8(p, x, stride=1, padding=0, slope=None, relu=False,
     elif slope is not None:
         y = jnp.maximum(y, y * slope)
     return y
+
+
+def conv_s2d_int8(xp, w, bias=None, r=2, out_dtype=None, slope=None,
+                  relu=False, cache=None):
+    """int8 twin of packing.conv_s2d: the FOLDED kernel is quantized
+    per-output-channel at trace time (memoized alongside the fold), the
+    packed input dynamically on device.  Used for the width-folded scale-0
+    / decoder trunks whose bf16 convs already run at MXU peak — int8 is
+    the only way those sites get faster."""
+    from refid_tpu.serve.packing import s2d_conv_kernel, _rr
+    rh, rw = _rr(r)
+    key = ("q", id(w), (rh, rw))
+    hit = None if cache is None else cache.get(key)
+    if hit is None or hit[0] is not w:
+        W, padding = s2d_conv_kernel(w, r)
+        kq, wscale = quantize_kernel(W)
+        hit = (w, kq, wscale, padding)
+        if cache is not None:
+            cache[key] = hit
+    _, kq, wscale, padding = hit
+    xq, xscale = quantize_act(xp)
+    y = jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (wscale * xscale)
+    if bias is not None:
+        y = y + jnp.tile(bias, rh * rw).astype(jnp.float32)
+    if out_dtype is not None:
+        y = y.astype(out_dtype)
+    if relu:
+        y = jax.nn.relu(y)
+    elif slope is not None:
+        y = jnp.maximum(y, y * slope)
+    return y

@@ -380,3 +380,59 @@ def test_adamw_clip_step_matches_torch():
     up, state = tx.update({"w": jnp.asarray(g * 0.5)}, state, params)
     params = optax.apply_updates(params, up)
     np.testing.assert_allclose(np.asarray(params["w"]), want_2, atol=2e-7)
+
+
+def test_bf16_training_tracks_f32():
+    """bf16 compute with f32 params/optimizer must track f32 training:
+    same data, same init, 20 steps — losses within 1% at every step and
+    the curves both decreasing (the recipe validation for enabling
+    compute_dtype: bfloat16 in training; measured on TPU the two differ by
+    2e-5 absolute after 10 steps at the production shape, PERFORMANCE.md
+    round-3)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+    from refid_tpu.train.losses import charbonnier_loss
+    from refid_tpu.train.trainer import build_optimizer, create_train_state
+
+    rng = np.random.RandomState(0)
+    b, t, hw = 2, 3, 24
+    cfg32 = RefidConfig(img_chn=6, ev_chn=2, base_num_channels=8,
+                        num_encoders=2, num_residual_blocks=1)
+    lq = jnp.asarray(rng.rand(b, hw, hw, 6).astype(np.float32))
+    vox = jnp.asarray(rng.rand(b, t, hw, hw, 2).astype(np.float32))
+    gt = jnp.asarray(rng.rand(b, t, hw, hw, 3).astype(np.float32))
+
+    train_opt = {"optim_g": {"type": "AdamW", "lr": 2e-4,
+                             "betas": [0.9, 0.99], "weight_decay": 1e-4},
+                 "scheduler": {"type": "TrueCosineAnnealingLR",
+                               "T_max": 1000, "eta_min": 1e-7},
+                 "grad_clip_norm": 0.01}
+
+    def run(cfg, steps=20):
+        model = FinalBidirectionAttenfusion(cfg)
+        params = model.init(jax.random.PRNGKey(0), lq, vox)
+        # params are created in f32 regardless of compute dtype
+        tx, _ = build_optimizer(train_opt, 1000)
+        state = create_train_state(params, tx)
+
+        @jax.jit
+        def step(state):
+            def loss_fn(p):
+                pred = model.apply(p, lq, vox).astype(jnp.float32)
+                return charbonnier_loss(pred, gt)
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads), loss
+
+        losses = []
+        for _ in range(steps):
+            state, loss = step(state)
+            losses.append(float(loss))
+        return losses
+
+    l32 = run(cfg32)
+    l16 = run(dataclasses.replace(cfg32, dtype=jnp.bfloat16))
+    assert l32[-1] < l32[0] and l16[-1] < l16[0], (l32[0], l32[-1])
+    for a, b_ in zip(l32, l16):
+        assert abs(a - b_) / abs(a) < 0.01, (a, b_)
