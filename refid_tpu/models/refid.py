@@ -72,6 +72,10 @@ class RefidConfig:
     # unrolls this many steps per while-loop iteration — bounded-graph
     # middle ground between scan (compile-fast, layout-thrash) and full
     # unroll (the relay's compile helper dies on the t=23 training graph)
+    scan_split_transpose: bool = False     # lax.scan _split_transpose:
+    # split each scan's AD transpose into separate reconstruction/backward
+    # loops (training-only experiment; the grad loops are 82% of the step,
+    # scripts/profile_train.py)
     dtype: Optional[Any] = None            # compute dtype (None -> f32)
     # --- ablation axes (paper lineage, expressed as flags instead of the
     # reference's per-variant arch files XXNet_*_arch.py) ---
@@ -397,7 +401,8 @@ class FinalBidirectionAttenfusion(nn.Module):
                     back_cls, variable_broadcast="params",
                     split_rngs={"params": False},
                     in_axes=(nn.broadcast, 1), out_axes=1, reverse=True,
-                    unroll=cfg.scan_unroll)
+                    unroll=cfg.scan_unroll,
+                    _split_transpose=cfg.scan_split_transpose)
                 bwd_final, bwd_stack = BackScan(cfg, name="bwd")(
                     bwd_carry0, (x_blocks, head_kb), event)
         else:
@@ -422,7 +427,8 @@ class FinalBidirectionAttenfusion(nn.Module):
         FwdScan = nn.scan(
             fwd_cls, variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(nn.broadcast, 1), out_axes=1, unroll=cfg.scan_unroll)
+            in_axes=(nn.broadcast, 1), out_axes=1, unroll=cfg.scan_unroll,
+            _split_transpose=cfg.scan_split_transpose)
         _, out = FwdScan(cfg, name="fwd")(carry0, const, xs)
         return out
 

@@ -58,11 +58,13 @@ def conv_int8(p, x, stride=1, padding=0, slope=None, relu=False,
         xq, kq, (stride, stride), [(padding, padding)] * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    y = y.astype(jnp.float32) * (wscale * xscale)
+    # rescale in the OUTPUT dtype: an f32 rescale materializes full-res f32
+    # temps (225MB each at the folded 720p shapes -> HBM OOM at t=23); the
+    # int32->bf16 rounding (~2^-9 rel) is below the int8 quantization noise
+    rdt = out_dtype or jnp.float32
+    y = y.astype(rdt) * (wscale * xscale).astype(rdt)
     if "bias" in p:
-        y = y + p["bias"].astype(jnp.float32)
-    if out_dtype is not None:
-        y = y.astype(out_dtype)
+        y = y + p["bias"].astype(rdt)
     if relu:
         y = jax.nn.relu(y)
     elif slope is not None:
@@ -93,11 +95,10 @@ def conv_s2d_int8(xp, w, bias=None, r=2, out_dtype=None, slope=None,
         xq, kq, (1, 1), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    y = y.astype(jnp.float32) * (wscale * xscale)
+    rdt = out_dtype or jnp.float32
+    y = y.astype(rdt) * (wscale * xscale).astype(rdt)
     if bias is not None:
-        y = y + jnp.tile(bias, rh * rw).astype(jnp.float32)
-    if out_dtype is not None:
-        y = y.astype(out_dtype)
+        y = y + jnp.tile(bias, rh * rw).astype(rdt)
     if relu:
         y = jax.nn.relu(y)
     elif slope is not None:

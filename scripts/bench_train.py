@@ -50,6 +50,9 @@ def build_variants():
         "bf16_su4": dict(dtype=jnp.bfloat16, scan_unroll=4),
         "bf16_remat_su23": dict(dtype=jnp.bfloat16, remat=True,
                                 scan_unroll=23),
+        "bf16_remat_st": dict(dtype=jnp.bfloat16, remat=True,
+                              scan_split_transpose=True),
+        "bf16_st": dict(dtype=jnp.bfloat16, scan_split_transpose=True),
     }
 
 

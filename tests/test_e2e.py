@@ -273,6 +273,7 @@ def test_test_cli_end_to_end(env, tmp_path):
     assert "total_psnr" in metrics and np.isfinite(metrics["total_psnr"])
 
 
+@pytest.mark.slow
 def test_ema_training_and_eval(env, tmp_path):
     """train.ema_decay populates EMA params; predict(use_ema=True) differs."""
     data_root, exp_root = env

@@ -37,6 +37,7 @@ def test_fast_forward_fused_matches_model():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fast_forward_bf16_close_to_f32():
     import dataclasses
     cfg, model, params, x, ev = _setup(seed=2, t=3)

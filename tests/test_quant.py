@@ -32,6 +32,7 @@ def test_conv_int8_matches_f32_within_quant_noise():
     assert snr_db > 40, snr_db
 
 
+@pytest.mark.slow
 def test_fast_forward_int8_db_vs_f32():
     """End-to-end int8 serving quality at a reduced shape: >= 30 dB against
     the f32 forward (bf16 measures 65 dB by the same methodology —

@@ -37,6 +37,7 @@ def test_spatially_sharded_forward_matches_unsharded():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_spatially_sharded_gradients_match():
     from refid_tpu.train.losses import charbonnier_loss
 

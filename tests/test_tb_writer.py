@@ -125,6 +125,7 @@ def test_event_file_roundtrip(tmp_path):
     assert s2["learning_rate"] == pytest.approx(2e-4)
 
 
+@pytest.mark.slow
 def test_train_cli_writes_tb_events(tmp_path):
     """use_tb_logger in the config must yield a readable event file with
     loss and metric scalars (parity: basicsr/utils/logger.py:71-110)."""
@@ -160,7 +161,7 @@ def test_train_cli_writes_tb_events(tmp_path):
     assert any(k.startswith("metrics/") for k in all_scalars), all_scalars
 
 
-def test_wandb_logger_stub_and_fake(tmp_path, caplog):
+def test_wandb_logger_stub_and_fake(tmp_path):
     """init_wandb_logger (reference logger.py:87-110 tb-sync mode): absent
     wandb package -> clean warning + None; with a fake wandb module ->
     init called with sync_tensorboard=True and the resume-id semantics."""
@@ -171,10 +172,20 @@ def test_wandb_logger_stub_and_fake(tmp_path, caplog):
 
     opt = {"name": "exp", "logger": {"wandb": {"project": "proj"}}}
     assert "wandb" not in sys.modules
-    with caplog.at_level(logging.WARNING, logger="refid_tpu"):
+    # capture via a direct handler: get_root_logger sets propagate=False on
+    # "refid_tpu" (earlier suite tests initialize it), so caplog's
+    # root-logger handler would miss the record
+    records = []
+    h = logging.Handler()
+    h.emit = records.append
+    lg = logging.getLogger("refid_tpu")
+    lg.addHandler(h)
+    try:
         assert init_wandb_logger(opt) is None  # package absent: no crash
-    assert any("wandb package is not installed" in r.message
-               for r in caplog.records)
+    finally:
+        lg.removeHandler(h)
+    assert any("wandb package is not installed" in r.getMessage()
+               for r in records)
 
     calls = {}
     fake = types.ModuleType("wandb")

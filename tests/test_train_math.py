@@ -382,6 +382,7 @@ def test_adamw_clip_step_matches_torch():
     np.testing.assert_allclose(np.asarray(params["w"]), want_2, atol=2e-7)
 
 
+@pytest.mark.slow
 def test_bf16_training_tracks_f32():
     """bf16 compute with f32 params/optimizer must track f32 training:
     same data, same init, 20 steps — losses within 1% at every step and
