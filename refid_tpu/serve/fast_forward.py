@@ -269,10 +269,14 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
     dt = cfg.dtype
     atten_at = tuple(cfg.atten_fuse_at)
     n_enc = cfg.num_encoders
-    # int8: route the MXU-peak convs (scales >= 1, bottleneck, decoder-0
-    # trunk) through int8 arithmetic (serve/quant.py).  NOT exact math —
-    # qualified by measured dB vs f32 (tests/test_quant.py) the way bf16
-    # was; scale-0 folded path, EGACA, and transposed convs stay bf16.
+    # int8: route the scale>=1 stage/trunk/down convs, bottleneck, and the
+    # decoder-0 trunk through int8 arithmetic (serve/quant.py).  NOT exact
+    # math — qualified by measured dB vs f32 (tests/test_quant.py) the way
+    # bf16 was.  EGACA, transposed convs, and the FOLDED full-res scale-0 /
+    # decoder trunks stay bf16: widening int8 to the folded trunks was a
+    # measured LOSS (37.9 vs 52.0 frames/s — the per-conv dynamic-quant
+    # passes over full-res tensors cost more than int8 saves on 128x128
+    # contractions; PERFORMANCE.md round 3).
     qcache = {} if int8 else None
 
     if x.ndim == 5:
@@ -341,8 +345,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             y = None if i == 0 else x_blocks[i - 1]
             if packed and i == 0:
                 e, states[0] = _enc_stage0_folded(
-                    p["bwd"]["enc_0"], e, states[0], None, dt, kc=kcache,
-                    q=qcache)
+                    p["bwd"]["enc_0"], e, states[0], None, dt, kc=kcache)
             else:
                 e, states[i] = _enc_stage(
                     p["bwd"][f"enc_{i}"], i, atten_at, e, y, states[i],
@@ -370,7 +373,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             if packed and i == 0:
                 e, fwd_states[0] = _enc_stage0_folded(
                     p["fwd"]["enc_0"], e, fwd_states[0], bwd_final[0], dt,
-                    kc=kcache, q=qcache)
+                    kc=kcache)
             else:
                 e, fwd_states[i] = _enc_stage(
                     p["fwd"][f"enc_{i}"], i, atten_at, e, y, fwd_states[i],
@@ -398,7 +401,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
                     e + skip, pd["up"]["kernel"], pd["up"]["bias"], dt,
                     r_in=1, r_out=2)
                 e = _trunk_folded(pd["trunk"], up, dec_states[i], 2, dt,
-                                  kc=kcache, q=qcache)
+                                  kc=kcache)
             elif packed and i == n_enc - 1:
                 # full-res decoder stage in width-fold-4 (32ch -> 128 lanes)
                 # e is width-fold-2 from dec_1; the skip folds to match
@@ -407,7 +410,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
                     e + skip_f2, pd["up"]["kernel"], pd["up"]["bias"], dt,
                     r_in=2, r_out=4)
                 e = _trunk_folded(pd["trunk"], up, dec_states[i], 4, dt,
-                                  kc=kcache, q=qcache)
+                                  kc=kcache)
             else:
                 up = _conv_transpose_up(pd["up"], e + skip, dt)
                 e = _trunk(pd["trunk"], up, dec_states[i], dt, fused,
