@@ -178,3 +178,133 @@ def events_to_voxel_grid_pallas(events, num_bins, width, height,
         band_h=band_h, chunk=chunk)
     grid = np.asarray(grid)[:, :height, :width]
     return grid if return_format == "CHW" else grid.transpose(1, 2, 0)
+
+
+# --- fully device-side variant (round 3) -----------------------------------
+#
+# The bucketed kernel above needs HOST-side band sorting/padding, which
+# breaks the one-jit serving pipeline.  This variant does everything on
+# device: sort events by row band (lax.sort_key_val), find band boundaries
+# (searchsorted), and run a mask-aligned version of the one-hot-MXU kernel
+# whose per-band DMA windows start at chunk-aligned offsets BELOW the band
+# start, masking the leading/trailing out-of-band events — so no padded
+# planar layout (and no host scatter) is needed.  Replaces the XLA scatter
+# in pipeline.BlurVFIPipeline (~20 ms for 1M events at 720p).
+
+
+def _voxel_kernel_masked(num_bins: int, band_h: int, chunk: int, width: int,
+                         starts_ref, ends_ref, ev_hbm, out_ref, ev_scratch,
+                         sem):
+    band = pl.program_id(0)
+    start = starts_ref[band]
+    end = ends_ref[band]
+    rows = num_bins * band_h
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    aligned = (start // chunk) * chunk       # chunk-aligned window start
+    num_chunks = pl.cdiv(end - aligned, chunk)
+
+    def body(k, _):
+        off = pl.multiple_of(aligned + k * chunk, 128)
+        dma = pltpu.make_async_copy(
+            ev_hbm.at[:, pl.ds(off, chunk)], ev_scratch, sem)
+        dma.start()
+        dma.wait()
+
+        ts = ev_scratch[0:1, :]
+        xs = ev_scratch[1:2, :].astype(jnp.int32)
+        ys = ev_scratch[2:3, :].astype(jnp.int32)
+        pols = ev_scratch[3:4, :]
+        pols = jnp.where(pols == 0, -1.0, pols)
+
+        tis = ts.astype(jnp.int32)
+        dts = ts - tis.astype(jnp.float32)
+        y_local = ys - band * band_h
+
+        gidx = off + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        valid = (gidx >= start) & (gidx < end)
+
+        row_l = jnp.where(valid & (tis < num_bins),
+                          tis * band_h + y_local, -1)
+        row_r = jnp.where(valid & (tis + 1 < num_bins),
+                          (tis + 1) * band_h + y_local, -1)
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (width, chunk), 0)
+
+        v_l = pols * (1.0 - dts)
+        v_r = pols * dts
+        r_t = ((row_ids == row_l).astype(jnp.float32) * v_l
+               + (row_ids == row_r).astype(jnp.float32) * v_r)
+        c_t = (col_ids == xs).astype(jnp.float32)
+
+        acc = jax.lax.dot_general(
+            r_t, c_t, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        out_ref[...] += acc.reshape(num_bins, band_h, width)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, body, 0)
+
+
+@partial(jax.jit, static_argnames=("num_bins", "width", "height", "band_h",
+                                   "chunk", "interpret"))
+def voxelize_device(events, n_valid, num_bins, width, height,
+                    band_h: int = 8, chunk: int = 512, interpret=False):
+    """Jittable, fully on-device voxelizer over a fixed-capacity padded
+    event buffer — same contract as events/voxel._voxelize_padded:
+    ``events`` (CAP, 4) rows ``[t, x, y, p]`` time-sorted with rows >=
+    ``n_valid`` as padding; returns (num_bins, height, width) f32.
+    CAP must be a multiple of ``chunk``.
+    """
+    cap = events.shape[0]
+    assert cap % chunk == 0, "pad event capacity to a chunk multiple"
+    H = height + (-height % band_h)
+    W = width + (-width % 128)
+    num_bands = H // band_h
+
+    idx = jnp.arange(cap)
+    in_range = idx < n_valid
+    t = events[:, 0]
+    first = t[0]
+    last = t[jnp.maximum(n_valid - 1, 0)]
+    delta = jnp.where(last == first, 1.0, last - first)
+    ts = (num_bins - 1) * (t - first) / delta
+
+    ys = events[:, 2]
+    band_key = jnp.where(in_range, ys.astype(jnp.int32) // band_h,
+                         num_bands).astype(jnp.int32)
+    # co-sort [ts, x, y, p] by band (padding sorts to the end)
+    sort_res = jax.lax.sort(
+        [band_key, ts, events[:, 1], ys, events[:, 3]], num_keys=1)
+    keys_sorted = sort_res[0]
+    ev_planar = jnp.stack(sort_res[1:], axis=0)          # (4, cap)
+
+    bands = jnp.arange(num_bands, dtype=jnp.int32)
+    starts = jnp.searchsorted(keys_sorted, bands, side="left").astype(
+        jnp.int32)
+    ends = jnp.searchsorted(keys_sorted, bands + 1, side="left").astype(
+        jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_bands,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (num_bins, band_h, W),
+            lambda band, starts, ends: (0, band, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((4, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = partial(_voxel_kernel_masked, num_bins, band_h, chunk, W)
+    grid = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_bins, H, W), jnp.float32),
+        interpret=interpret,
+    )(starts, ends, ev_planar)
+    return grid[:, :height, :width]

@@ -35,11 +35,16 @@ class BlurVFIPipeline:
     """
 
     def __init__(self, params, cfg: RefidConfig, m: int = 11, n: int = 1,
-                 norm_voxel: bool = False, fast: Optional[bool] = None):
+                 norm_voxel: bool = False, fast: Optional[bool] = None,
+                 voxelizer: str = "scatter"):
         self.params = params
         self.cfg = cfg
         self.m, self.n = m, n
         self.num_bins = 2 * m + n + 1
+        assert voxelizer in ("scatter", "pallas")
+        self.voxelizer = voxelizer  # 'pallas': fully on-device sort +
+        # one-hot-MXU kernel (events/voxel_pallas.voxelize_device) instead
+        # of the XLA scatter
         self.norm_voxel = norm_voxel  # parity: recurrent recipe skips norm
         self.model = FinalBidirectionAttenfusion(cfg)
         # the packed/width-folded serving forward (serve/fast_forward.py,
@@ -57,8 +62,14 @@ class BlurVFIPipeline:
         @partial(jax.jit, static_argnames=("height", "width"))
         def _run(params, blur0, blur1, events, n_events, height, width):
             m, n = self.m, self.n
-            vox = _voxelize_padded(events, n_events, self.num_bins,
-                                   width, height)          # (bins, h, w)
+            if self.voxelizer == "pallas":
+                from refid_tpu.events.voxel_pallas import voxelize_device
+                vox = voxelize_device(events, n_events,
+                                      num_bins=self.num_bins, width=width,
+                                      height=height)       # (bins, h, w)
+            else:
+                vox = _voxelize_padded(events, n_events, self.num_bins,
+                                       width, height)      # (bins, h, w)
             vox = jnp.transpose(vox, (1, 2, 0))             # (h, w, bins)
             if self.norm_voxel:
                 nz = vox != 0

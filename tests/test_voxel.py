@@ -129,3 +129,35 @@ def test_native_voxelizer_matches_numpy():
     finally:
         del os.environ["REFID_TPU_NO_NATIVE"]
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_voxelize_device_matches_scatter():
+    """The fully on-device Pallas voxelizer (sort + band boundaries +
+    mask-aligned one-hot MXU kernel, interpret mode on CPU) must match the
+    XLA-scatter voxelizer on a padded event buffer, including the padding
+    and out-of-range handling."""
+    import jax.numpy as jnp
+    from refid_tpu.events.voxel import _voxelize_padded
+    from refid_tpu.events.voxel_pallas import voxelize_device
+
+    rng = np.random.RandomState(0)
+    cap, n_valid, bins, w, h = 2048, 1900, 5, 160, 48
+    ev = np.zeros((cap, 4), np.float32)
+    ev[:n_valid, 0] = np.sort(rng.rand(n_valid))
+    ev[:n_valid, 1] = rng.randint(0, w, n_valid)
+    ev[:n_valid, 2] = rng.randint(0, h, n_valid)
+    ev[:n_valid, 3] = rng.randint(0, 2, n_valid)
+
+    ref = np.asarray(_voxelize_padded(jnp.asarray(ev), jnp.int32(n_valid),
+                                      bins, w, h))
+    got = np.asarray(voxelize_device(jnp.asarray(ev), jnp.int32(n_valid),
+                                     num_bins=bins, width=w, height=h,
+                                     chunk=512, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+    # empty stream
+    got0 = np.asarray(voxelize_device(
+        jnp.asarray(np.zeros((512, 4), np.float32)), jnp.int32(0),
+        num_bins=bins, width=w, height=h, chunk=512, interpret=True))
+    assert np.all(got0 == 0)
