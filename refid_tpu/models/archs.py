@@ -59,6 +59,7 @@ def _refid_cfg(opt: dict, **overrides) -> RefidConfig:
         use_first_dcn=opt.get("use_first_dcn", False),
         aliased_backward_states=opt.get("aliased_backward_states", True),
         remat=opt.get("remat", False),
+        remat_policy=opt.get("remat_policy", "all"),
         siamese_fusion=opt.get("siamese_fusion"),
     )
     kw.update(overrides)

@@ -32,6 +32,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _ckpt_name
 import flax.linen as nn
 
 from refid_tpu.models.layers import (
@@ -65,6 +66,12 @@ class RefidConfig:
     # honored (ops/deform_conv.py); False = released-checkpoint parity.
     aliased_backward_states: bool = True   # reference checkpoint parity
     remat: bool = False                    # rematerialize scan steps
+    remat_policy: str = "all"              # 'all': recompute everything in
+    # the backward pass (lowest memory); 'stage_outputs': save each encoder
+    # stage's (downsampled, half-res) output and the decoder outputs —
+    # jax.checkpoint_policies.save_only_these_names — trading memory for
+    # less recompute (the bwd loops are 82% of the step,
+    # scripts/profile_train.py)
     unroll: bool = False                   # trace-time loop instead of scan
                                            # (same params; lets XLA pick one
                                            # layout across all t steps)
@@ -157,6 +164,7 @@ class _BackwardStep(nn.Module):
                 dtype=cfg.dtype,
                 name=f"enc_{i}",
             )(e, y, states[i], None)
+            e = _ckpt_name(e, "stage_out")
             e_blocks.append(e)
             new_states.append(s)
         new_states = tuple(new_states)
@@ -223,6 +231,7 @@ class _ForwardStep(nn.Module):
               bwd_states[i] if (cfg.bidirectional
                                 and cfg.encoder_stage != "rec_conv")
               else None)
+            e = _ckpt_name(e, "stage_out")
             if siamese:
                 x0f, x1f = x_blocks[i]
                 if cfg.siamese_fusion == "se":
@@ -275,6 +284,7 @@ class _ForwardStep(nn.Module):
             else:
                 e, s = decoder_cls(out_ch=out_ch, num_block=1, dtype=cfg.dtype,
                                    name=f"dec_{i}")(e + skip, dec_states[i])
+            e = _ckpt_name(e, "dec_out")
             new_dec.append(s)
 
         # siamese lineage predicts from the decoder output alone (:199-201)
@@ -378,8 +388,14 @@ class FinalBidirectionAttenfusion(nn.Module):
         back_cls = _BackwardStep
         fwd_cls = _ForwardStep
         if cfg.remat:
-            back_cls = nn.remat(back_cls)
-            fwd_cls = nn.remat(fwd_cls)
+            if cfg.remat_policy == "stage_outputs":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "stage_out", "dec_out")
+                back_cls = nn.remat(back_cls, policy=policy)
+                fwd_cls = nn.remat(fwd_cls, policy=policy)
+            else:
+                back_cls = nn.remat(back_cls)
+                fwd_cls = nn.remat(fwd_cls)
 
         if cfg.bidirectional:
             if cfg.unroll:

@@ -53,6 +53,8 @@ def build_variants():
         "bf16_remat_st": dict(dtype=jnp.bfloat16, remat=True,
                               scan_split_transpose=True),
         "bf16_st": dict(dtype=jnp.bfloat16, scan_split_transpose=True),
+        "bf16_remat_stageout": dict(dtype=jnp.bfloat16, remat=True,
+                                    remat_policy="stage_outputs"),
     }
 
 
