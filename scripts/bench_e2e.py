@@ -53,11 +53,14 @@ def main():
     bsz = 1
     if "--b" in sys.argv:
         bsz = int(sys.argv[sys.argv.index("--b") + 1])
+    hh, ww = 720, 1280
+    if "--hw" in sys.argv:  # e.g. --hw 1224x1632 (HighREV)
+        hh, ww = map(int, sys.argv[sys.argv.index("--hw") + 1].split("x"))
     which = args or ["model", "fused"]
 
     cfg = RefidConfig(dtype=jnp.bfloat16, unroll=True)
     model = FinalBidirectionAttenfusion(cfg)
-    b, h, w = bsz, 720, 1280
+    b, h, w = bsz, hh, ww
     rng = np.random.RandomState(0)
     # bf16 inputs: identical serving semantics (the first conv casts to the
     # compute dtype regardless) and ~270 MB less HBM for the 23-bin stack
