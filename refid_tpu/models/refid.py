@@ -28,7 +28,7 @@ Parity notes (replicate-or-fix decisions, each exposed as a config flag):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

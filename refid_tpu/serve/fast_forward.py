@@ -21,7 +21,6 @@ Reference hot loop being replaced: XXNet_final_attenfusion_arch.py:172-216.
 
 from __future__ import annotations
 
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

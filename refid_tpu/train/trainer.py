@@ -15,8 +15,6 @@ Recipe parity (production blur-VFI 11+1 config):
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
@@ -24,7 +22,6 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from refid_tpu.train.losses import build_loss
 from refid_tpu.train.schedules import build_schedule
 
 __all__ = ["TrainState", "build_optimizer", "make_train_step",
