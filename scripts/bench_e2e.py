@@ -46,7 +46,13 @@ def timed(fn, params, x, ev, iters=8):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    skip = set()
+    for i, a in enumerate(argv):  # drop flag VALUES from the variant list
+        if a.startswith("--") and i + 1 < len(argv):
+            skip.add(i + 1)
+    args = [a for i, a in enumerate(argv)
+            if not a.startswith("--") and i not in skip]
     t = 23
     if "--t" in sys.argv:
         t = int(sys.argv[sys.argv.index("--t") + 1])
