@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from refid_tpu.events.voxel import _voxelize_padded
 from refid_tpu.models.refid import FinalBidirectionAttenfusion, RefidConfig
 
-__all__ = ["BlurVFIPipeline"]
+__all__ = ["BlurVFIPipeline", "SharpVFIPipeline"]
 
 
 class BlurVFIPipeline:
@@ -116,3 +116,51 @@ class BlurVFIPipeline:
                          jnp.asarray(blur1, jnp.float32),
                          jnp.asarray(padded), jnp.int32(n_ev),
                          height=h, width=w)
+
+
+class SharpVFIPipeline(BlurVFIPipeline):
+    """Sharp-VFI serving: (sharp0, sharp1, events) -> n middle frames.
+
+    Replicates the GoProSharpEventRecurrentDataset packing
+    (image_sharp_npy_dataset.py:203-214 / data/datasets/base.py:273-276):
+    the 26-ch input pads ZERO deblur bins around the two sharp frames so
+    the same FinalBidirectionAttenfusion checkpoints serve both tasks.
+    ``n+1`` voxel bins over the inter-frame window -> n adjacent-bin pairs
+    -> n interpolated frames.
+    """
+
+    def __init__(self, params, cfg: RefidConfig, n: int = 7,
+                 norm_voxel: bool = False, fast: Optional[bool] = None,
+                 voxelizer: str = "scatter"):
+        super().__init__(params, cfg, m=1, n=n, norm_voxel=norm_voxel,
+                         fast=fast, voxelizer=voxelizer)
+        self.num_bins = n + 1  # sharp stream: ends are the inputs
+
+        @partial(jax.jit, static_argnames=("height", "width"))
+        def _run(params, sharp0, sharp1, events, n_events, height, width):
+            if self.voxelizer == "pallas":
+                from refid_tpu.events.voxel_pallas import voxelize_device
+                vox = voxelize_device(events, n_events,
+                                      num_bins=self.num_bins, width=width,
+                                      height=height)
+            else:
+                vox = _voxelize_padded(events, n_events, self.num_bins,
+                                       width, height)
+            vox = jnp.transpose(vox, (1, 2, 0))             # (h, w, bins)
+            zeros = jnp.zeros(vox.shape[:2] + (10,), vox.dtype)
+            lq = jnp.concatenate([sharp0, zeros, sharp1, zeros],
+                                 axis=-1)[None]             # (1,h,w,26)
+            t = self.num_bins - 1
+            if self.fast:
+                from refid_tpu.serve import fast_forward
+                from refid_tpu.serve.packing import space_to_depth
+                pairs_t = jnp.stack([vox[..., i:i + 2] for i in range(t)],
+                                    axis=0)
+                packed = space_to_depth(pairs_t, 2)[None]
+                return fast_forward(params, self.cfg, lq, packed,
+                                    packed=True)[0]
+            pairs = jnp.stack([vox[..., i:i + 2] for i in range(t)],
+                              axis=0)[None]
+            return self.model.apply(params, lq, pairs)[0]   # (n,h,w,3)
+
+        self._run = _run

@@ -249,6 +249,45 @@ def test_blur_vfi_serving_pipeline():
     np.testing.assert_allclose(out, want, atol=2e-4)
 
 
+def test_sharp_vfi_serving_pipeline():
+    """SharpVFIPipeline == host voxelize + zero-pad pack + bare model
+    (the sharp-task serving entry; packing per
+    image_sharp_npy_dataset.py:203-214)."""
+    import jax
+    import jax.numpy as jnp
+    from refid_tpu.pipeline import SharpVFIPipeline
+    from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+    from refid_tpu.events import events_to_voxel_grid
+
+    n = 3
+    cfg = RefidConfig(img_chn=26, ev_chn=2, num_encoders=2,
+                      base_num_channels=4, num_residual_blocks=1)
+    model = FinalBidirectionAttenfusion(cfg)
+    rng = np.random.RandomState(1)
+    h, w = 16, 24
+    s0 = rng.rand(h, w, 3).astype(np.float32)
+    s1 = rng.rand(h, w, 3).astype(np.float32)
+    ne = 400
+    ev = np.stack([np.sort(rng.rand(ne)), rng.randint(0, w, ne),
+                   rng.randint(0, h, ne), rng.choice([-1., 1.], ne)],
+                  1).astype(np.float32)
+
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, h, w, cfg.img_chn)),
+                        jnp.zeros((1, n, h, w, 2)))
+    pipe = SharpVFIPipeline(params, cfg, n=n)
+    out = np.asarray(pipe(s0, s1, ev))
+    assert out.shape == (n, h, w, 3)
+
+    vox = events_to_voxel_grid(ev, n + 1, w, h, "HWC")
+    zeros = np.zeros((h, w, 10), np.float32)
+    lq = np.concatenate([s0, zeros, s1, zeros], axis=-1)[None]
+    pairs = np.stack([vox[..., i:i + 2] for i in range(n)], 0)[None]
+    want = np.asarray(model.apply(params, jnp.asarray(lq),
+                                  jnp.asarray(pairs)))[0]
+    np.testing.assert_allclose(out, want, atol=2e-4)
+
+
 def test_test_cli_end_to_end(env, tmp_path):
     """cli.test over a saved orbax checkpoint reproduces training-time val."""
     data_root, exp_root = env
