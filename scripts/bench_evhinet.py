@@ -1,0 +1,55 @@
+"""EVHINet (single-image deblur) throughput at 720p on the real TPU.
+
+Usage: python scripts/bench_evhinet.py [--f32]
+"""
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/refid_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from refid_tpu.models.evhinet import EVHINet
+
+    dt = None if "--f32" in sys.argv else jnp.bfloat16
+    model = EVHINet(dtype=dt)
+    rng = np.random.RandomState(0)
+    h, w = 720, 1280
+    x = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    ev = jnp.asarray(rng.rand(1, h, w, 6).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 6)))
+
+    @partial(jax.jit, static_argnums=(3,))
+    def loop(p, x, ev, iters):
+        def body(_, carry):
+            xi, s = carry
+            out = model.apply(p, xi, ev)
+            s = jnp.mean(out.astype(jnp.float32))
+            xi = (x + s * 1e-12).astype(x.dtype)
+            return (xi, s)
+        return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0)))[1]
+
+    float(loop(params, x, ev, 1))
+    t0 = time.perf_counter(); float(loop(params, x, ev, 1))
+    d1 = time.perf_counter() - t0
+    float(loop(params, x, ev, 17))
+    t0 = time.perf_counter(); float(loop(params, x, ev, 17))
+    dtm = (time.perf_counter() - t0 - d1) / 16
+    tag = "f32" if dt is None else "bf16"
+    print(f"EVHINet {tag} 720p: {dtm*1e3:.1f} ms/frame "
+          f"({1/dtm:.1f} frames/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
