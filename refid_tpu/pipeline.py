@@ -36,12 +36,14 @@ class BlurVFIPipeline:
 
     def __init__(self, params, cfg: RefidConfig, m: int = 11, n: int = 1,
                  norm_voxel: bool = False, fast: Optional[bool] = None,
-                 voxelizer: str = "scatter"):
+                 voxelizer: str = "scatter", int8: bool = False):
         self.params = params
         self.cfg = cfg
         self.m, self.n = m, n
         self.num_bins = 2 * m + n + 1
         assert voxelizer in ("scatter", "pallas")
+        self.int8 = int8  # int8 MXU serving (NOT exact math; 52 vs 46
+        # frames/s @720p — serve/quant.py, dB-gated in tests/test_quant.py)
         self.voxelizer = voxelizer  # 'pallas': fully on-device sort +
         # one-hot-MXU kernel (events/voxel_pallas.voxelize_device) instead
         # of the XLA scatter
@@ -94,7 +96,7 @@ class BlurVFIPipeline:
                                     axis=0)                 # (t,h,w,2)
                 packed = space_to_depth(pairs_t, 2)[None]   # (1,t,h/2,w/2,8)
                 return fast_forward(params, self.cfg, lq, packed,
-                                    packed=True)[0]
+                                    packed=True, int8=self.int8)[0]
             pairs = jnp.stack([vox[..., i:i + 2] for i in range(t)],
                               axis=0)[None]                 # (1,t,h,w,2)
             return self.model.apply(params, lq, pairs)[0]   # (t,h,w,3)
@@ -131,9 +133,9 @@ class SharpVFIPipeline(BlurVFIPipeline):
 
     def __init__(self, params, cfg: RefidConfig, n: int = 7,
                  norm_voxel: bool = False, fast: Optional[bool] = None,
-                 voxelizer: str = "scatter"):
+                 voxelizer: str = "scatter", int8: bool = False):
         super().__init__(params, cfg, m=1, n=n, norm_voxel=norm_voxel,
-                         fast=fast, voxelizer=voxelizer)
+                         fast=fast, voxelizer=voxelizer, int8=int8)
         self.num_bins = n + 1  # sharp stream: ends are the inputs
 
         @partial(jax.jit, static_argnames=("height", "width"))
@@ -158,7 +160,7 @@ class SharpVFIPipeline(BlurVFIPipeline):
                                     axis=0)
                 packed = space_to_depth(pairs_t, 2)[None]
                 return fast_forward(params, self.cfg, lq, packed,
-                                    packed=True)[0]
+                                    packed=True, int8=self.int8)[0]
             pairs = jnp.stack([vox[..., i:i + 2] for i in range(t)],
                               axis=0)[None]
             return self.model.apply(params, lq, pairs)[0]   # (n,h,w,3)
