@@ -98,14 +98,22 @@ def main():
     @partial(jax.jit, static_argnums=(5,))
     def bench_fn(params, b0, b1, events, n_ev, iters):
         def body(_, carry):
-            b0i, s = carry
-            out = pipe._run(params, b0i, b1, events, n_ev,
+            b0i, evi, s = carry
+            out = pipe._run(params, b0i, b1, evi, n_ev,
                             height=h, width=w)
             s = jnp.mean(out.astype(jnp.float32))
+            # chain BOTH the frames and the event buffer through the carry:
+            # with loop-invariant events, XLA could hoist the voxelization
+            # out of the fori_loop and the "end-to-end" claim would exclude
+            # it.  The +s*1e-12 perturbation is exact-zero in f32 for the
+            # magnitudes involved, so every iteration computes identical
+            # values while the data dependence forces full re-execution.
             b0i = (b0.astype(jnp.float32) + s * 1e-12).astype(b0.dtype)
-            return (b0i, s)  # dependency chain across iterations
+            evi = events + s * 1e-12
+            return (b0i, evi, s)
 
-        return jax.lax.fori_loop(0, iters, body, (b0, jnp.float32(0.0)))[1]
+        return jax.lax.fori_loop(
+            0, iters, body, (b0, events, jnp.float32(0.0)))[2]
 
     def bench_iters(iters):
         float(bench_fn(params, blur0, blur1, events, n_ev, iters))

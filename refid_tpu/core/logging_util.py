@@ -53,6 +53,12 @@ def init_tb_logger(opt: dict):
     the tb writer so sync_tensorboard picks up the event files."""
     log_opt = opt.get("logger", {}) or {}
     if not log_opt.get("use_tb_logger"):
+        if (log_opt.get("wandb") or {}).get("project"):
+            logging.getLogger("refid_tpu").warning(
+                "logger.wandb.project is set but use_tb_logger is false — "
+                "wandb runs in tensorboard-sync mode and needs the tb "
+                "writer (the reference asserts this, basicsr/train.py:73); "
+                "wandb sync is DISABLED")
         return None
     if log_opt.get("wandb"):
         init_wandb_logger(opt)

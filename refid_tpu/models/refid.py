@@ -357,6 +357,11 @@ class FinalBidirectionAttenfusion(nn.Module):
         if cfg.encoder_stage == "rec_conv":
             assert cfg.recurrent_cell in ("convgru", "convlstm"), \
                 "rec_conv stage is the ConvLSTM/ConvGRU lineage"
+            assert not cfg.bidirectional, \
+                ("rec_conv has no bidirectional-state fuse — the reference "
+                 "RecurrentConvLayer takes no bi_direction_state and the "
+                 "bidirection archs crash with convlstm/convgru "
+                 "(models/archs.py breakage map)")
         if cfg.bidir_decoder:
             assert cfg.aliased_backward_states and cfg.bidirectional, \
                 "bidir_decoder replicates the aliased all-bidirection lineage"

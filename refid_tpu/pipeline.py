@@ -26,6 +26,21 @@ from refid_tpu.models.refid import FinalBidirectionAttenfusion, RefidConfig
 __all__ = ["BlurVFIPipeline", "SharpVFIPipeline"]
 
 
+def _fast_serving_applicable(cfg: RefidConfig) -> bool:
+    """True iff serve.fast_forward implements EXACTLY this configuration
+    (it replays the production architecture; every axis it hard-codes must
+    match or the math silently diverges/crashes — mirrored by the asserts
+    at the top of fast_forward)."""
+    return (cfg.bidirectional and cfg.aliased_backward_states
+            and cfg.recurrent_cell == "simpleconv"
+            and cfg.encoder_stage == "then_down"
+            and cfg.num_block == 1 and cfg.siamese_fusion is None
+            and cfg.decoder_type == "transpose_recurrent"
+            and cfg.num_encoders >= 2  # packed decoder folds last 2 stages
+            and cfg.apply_resblocks and cfg.bottleneck_img_add
+            and not cfg.bidir_decoder and not cfg.use_first_dcn)
+
+
 class BlurVFIPipeline:
     """Blurry-VFI serving: (blur0, blur1, events) -> 2m+n sharp frames.
 
@@ -40,30 +55,24 @@ class BlurVFIPipeline:
         self.params = params
         self.cfg = cfg
         self.m, self.n = m, n
-        self.num_bins = 2 * m + n + 1
+        self.num_bins = self._derive_num_bins(m, n)
         assert voxelizer in ("scatter", "pallas")
-        self.int8 = int8  # int8 MXU serving (NOT exact math; 52 vs 46
-        # frames/s @720p — serve/quant.py, dB-gated in tests/test_quant.py)
         self.voxelizer = voxelizer  # 'pallas': fully on-device sort +
         # one-hot-MXU kernel (events/voxel_pallas.voxelize_device) instead
         # of the XLA scatter
+        self.int8 = int8  # int8 MXU serving (NOT exact math; 52 vs 46
+        # frames/s @720p — serve/quant.py, dB-gated in tests/test_quant.py)
         self.norm_voxel = norm_voxel  # parity: recurrent recipe skips norm
         self.model = FinalBidirectionAttenfusion(cfg)
         # the packed/width-folded serving forward (serve/fast_forward.py,
-        # exact math, 46 vs 42 frames/s at 720p) requires the production
-        # architecture shape; auto-enable when it applies
+        # exact math, 46 vs 42 frames/s at 720p) replays the production
+        # architecture only; auto-enable exactly when it applies
         if fast is None:
-            fast = (cfg.bidirectional and cfg.aliased_backward_states
-                    and cfg.recurrent_cell == "simpleconv"
-                    and cfg.num_block == 1 and cfg.siamese_fusion is None
-                    and cfg.decoder_type == "transpose_recurrent"
-                    and cfg.num_encoders >= 2)  # packed decoder folds the
-                    # last two stages (fast_forward.py)
+            fast = _fast_serving_applicable(cfg)
         self.fast = fast
 
         @partial(jax.jit, static_argnames=("height", "width"))
-        def _run(params, blur0, blur1, events, n_events, height, width):
-            m, n = self.m, self.n
+        def _run(params, frame0, frame1, events, n_events, height, width):
             if self.voxelizer == "pallas":
                 from refid_tpu.events.voxel_pallas import voxelize_device
                 vox = voxelize_device(events, n_events,
@@ -79,9 +88,7 @@ class BlurVFIPipeline:
                 mean = jnp.sum(vox) / cnt
                 std = jnp.sqrt(jnp.sum(vox ** 2) / cnt - mean ** 2)
                 vox = jnp.where(nz, (vox - mean) / std, 0.0)
-            lq = jnp.concatenate(
-                [blur0, vox[..., 1:m], blur1, vox[..., m + 2 + n:]],
-                axis=-1)[None]                              # (1,h,w,26)
+            lq = self._make_lq(vox, frame0, frame1)[None]    # (1,h,w,chn)
             t = self.num_bins - 1
             if self.fast:
                 # emit the PRE-PACKED serving format straight from the voxel
@@ -102,6 +109,18 @@ class BlurVFIPipeline:
             return self.model.apply(params, lq, pairs)[0]   # (t,h,w,3)
 
         self._run = _run
+
+    # --- task-specific hooks (overridden by SharpVFIPipeline) --------------
+
+    def _derive_num_bins(self, m: int, n: int) -> int:
+        return 2 * m + n + 1
+
+    def _make_lq(self, vox, frame0, frame1):
+        """Blur-VFI packing: 2 blurred frames + intra-exposure voxel bins
+        (image_npy_dataset.py:211-221)."""
+        m, n = self.m, self.n
+        return jnp.concatenate(
+            [frame0, vox[..., 1:m], frame1, vox[..., m + 2 + n:]], axis=-1)
 
     def __call__(self, blur0: np.ndarray, blur1: np.ndarray,
                  events: np.ndarray,
@@ -136,33 +155,10 @@ class SharpVFIPipeline(BlurVFIPipeline):
                  voxelizer: str = "scatter", int8: bool = False):
         super().__init__(params, cfg, m=1, n=n, norm_voxel=norm_voxel,
                          fast=fast, voxelizer=voxelizer, int8=int8)
-        self.num_bins = n + 1  # sharp stream: ends are the inputs
 
-        @partial(jax.jit, static_argnames=("height", "width"))
-        def _run(params, sharp0, sharp1, events, n_events, height, width):
-            if self.voxelizer == "pallas":
-                from refid_tpu.events.voxel_pallas import voxelize_device
-                vox = voxelize_device(events, n_events,
-                                      num_bins=self.num_bins, width=width,
-                                      height=height)
-            else:
-                vox = _voxelize_padded(events, n_events, self.num_bins,
-                                       width, height)
-            vox = jnp.transpose(vox, (1, 2, 0))             # (h, w, bins)
-            zeros = jnp.zeros(vox.shape[:2] + (10,), vox.dtype)
-            lq = jnp.concatenate([sharp0, zeros, sharp1, zeros],
-                                 axis=-1)[None]             # (1,h,w,26)
-            t = self.num_bins - 1
-            if self.fast:
-                from refid_tpu.serve import fast_forward
-                from refid_tpu.serve.packing import space_to_depth
-                pairs_t = jnp.stack([vox[..., i:i + 2] for i in range(t)],
-                                    axis=0)
-                packed = space_to_depth(pairs_t, 2)[None]
-                return fast_forward(params, self.cfg, lq, packed,
-                                    packed=True, int8=self.int8)[0]
-            pairs = jnp.stack([vox[..., i:i + 2] for i in range(t)],
-                              axis=0)[None]
-            return self.model.apply(params, lq, pairs)[0]   # (n,h,w,3)
+    def _derive_num_bins(self, m: int, n: int) -> int:
+        return n + 1  # sharp stream: the window ends ARE the inputs
 
-        self._run = _run
+    def _make_lq(self, vox, frame0, frame1):
+        zeros = jnp.zeros(vox.shape[:2] + (10,), vox.dtype)
+        return jnp.concatenate([frame0, zeros, frame1, zeros], axis=-1)

@@ -260,10 +260,13 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
     """
     assert cfg.bidirectional and cfg.aliased_backward_states
     assert cfg.recurrent_cell == "simpleconv" and cfg.num_block == 1
+    assert cfg.encoder_stage == "then_down"
     assert cfg.decoder_type == "transpose_recurrent"
     assert cfg.siamese_fusion is None
     assert cfg.num_encoders >= 2, \
         "packed decoder folds the last two stages; need >=2 encoders"
+    assert cfg.apply_resblocks and cfg.bottleneck_img_add
+    assert not cfg.bidir_decoder and not cfg.use_first_dcn
     p = params["params"] if "params" in params else params
     dt = cfg.dtype
     atten_at = tuple(cfg.atten_fuse_at)

@@ -23,17 +23,22 @@ __all__ = ["quantize_kernel", "quantize_act", "conv_int8"]
 
 
 def quantize_kernel(k, cache=None):
-    """(kh, kw, ci, co) f32 -> (int8 kernel, f32 per-co scale)."""
-    if cache is not None and id(k) in cache:
-        return cache[id(k)]
+    """(kh, kw, ci, co) f32 -> (int8 kernel, f32 per-co scale).
+
+    The cache entry PINS ``k`` so its id cannot be recycled mid-trace
+    (id-reuse would silently alias kernels — same guard as
+    packing.conv_s2d)."""
+    if cache is not None:
+        hit = cache.get(id(k))
+        if hit is not None and hit[0] is k:
+            return hit[1:]
     kf = k.astype(jnp.float32)
     amax = jnp.max(jnp.abs(kf), axis=(0, 1, 2))          # (co,)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     kq = jnp.clip(jnp.round(kf / scale), -127, 127).astype(jnp.int8)
-    out = (kq, scale)
     if cache is not None:
-        cache[id(k)] = out
-    return out
+        cache[id(k)] = (k, kq, scale)
+    return kq, scale
 
 
 def quantize_act(x):

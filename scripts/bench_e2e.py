@@ -28,12 +28,16 @@ def timed(fn, params, x, ev, iters=8):
     @partial(jax.jit, static_argnums=(3,))
     def loop(params, x, ev, iters):
         def body(_, carry):
-            xi, s = carry
-            out = fn(params, xi, ev)
+            xi, evi, s = carry
+            out = fn(params, xi, evi)
             s = jnp.mean(out.astype(jnp.float32))
+            # chain BOTH inputs (ev-only work like the cached event head
+            # must not be hoisted out as loop-invariant)
             xi = (xi.astype(jnp.float32) + s * 1e-12).astype(xi.dtype)
-            return (xi, s)
-        return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0)))[1]
+            evi = (ev.astype(jnp.float32) + s * 1e-12).astype(ev.dtype)
+            return (xi, evi, s)
+        return jax.lax.fori_loop(0, iters, body,
+                                 (x, ev, jnp.float32(0)))[2]
 
     float(loop(params, x, ev, 1))
     t0 = time.perf_counter()
@@ -47,9 +51,10 @@ def timed(fn, params, x, ev, iters=8):
 
 def main():
     argv = sys.argv[1:]
+    VALUE_FLAGS = {"--t", "--b", "--hw"}
     skip = set()
     for i, a in enumerate(argv):  # drop flag VALUES from the variant list
-        if a.startswith("--") and i + 1 < len(argv):
+        if a in VALUE_FLAGS and i + 1 < len(argv):
             skip.add(i + 1)
     args = [a for i, a in enumerate(argv)
             if not a.startswith("--") and i not in skip]

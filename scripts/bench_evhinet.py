@@ -33,12 +33,15 @@ def main():
     @partial(jax.jit, static_argnums=(3,))
     def loop(p, x, ev, iters):
         def body(_, carry):
-            xi, s = carry
-            out = model.apply(p, xi, ev)
+            xi, evi, s = carry
+            out = model.apply(p, xi, evi)
             s = jnp.mean(out.astype(jnp.float32))
+            # chain BOTH inputs so the event-only branch cannot be hoisted
             xi = (x + s * 1e-12).astype(x.dtype)
-            return (xi, s)
-        return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0)))[1]
+            evi = (ev + s * 1e-12).astype(ev.dtype)
+            return (xi, evi, s)
+        return jax.lax.fori_loop(0, iters, body,
+                                 (x, ev, jnp.float32(0)))[2]
 
     float(loop(params, x, ev, 1))
     t0 = time.perf_counter(); float(loop(params, x, ev, 1))
