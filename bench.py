@@ -49,7 +49,9 @@ H100_REFERENCE_FPS_EST = 90.0
 V5E_BF16_CEILING_FPS = 84.0  # 197 TFLOP/s / (54.1 TFLOP / 23 frames)
 
 
-N_EVENTS = 1 << 20  # ~1M events per 12-frame 720p window (realistic order)
+import os as _os
+N_EVENTS = int(_os.environ.get("BENCH_N_EVENTS", 1 << 20))  # ~1M events per
+# 12-frame 720p window is the realistic order; override for diagnostics
 
 
 def main():

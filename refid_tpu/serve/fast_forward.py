@@ -274,12 +274,19 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
     # int8: route the scale>=1 stage/trunk/down convs, bottleneck, and the
     # decoder-0 trunk through int8 arithmetic (serve/quant.py).  NOT exact
     # math — qualified by measured dB vs f32 (tests/test_quant.py) the way
-    # bf16 was.  EGACA, transposed convs, and the FOLDED full-res scale-0 /
-    # decoder trunks stay bf16: widening int8 to the folded trunks was a
-    # measured LOSS (37.9 vs 52.0 frames/s — the per-conv dynamic-quant
-    # passes over full-res tensors cost more than int8 saves on 128x128
-    # contractions; PERFORMANCE.md round 3).
+    # bf16 was.  EGACA, transposed convs, and the FOLDED full-res decoder
+    # trunks stay bf16: int8 on the decoder folded trunks was a measured
+    # LOSS (the per-conv dynamic-quant passes over full-res tensors cost
+    # more than int8 saves on 128x128 contractions; PERFORMANCE.md round 3).
+    # ``int8="scale0"`` additionally quantizes the width-folded scale-0
+    # encoder trunks — both scans' full-res recurrent chains, ~half the
+    # model's device time (a cost that rounds 2-3 never saw: with a
+    # loop-invariant event tensor, XLA hoisted the whole image-independent
+    # scale-0 chain out of every timing loop; PERFORMANCE.md round-3
+    # correction).
+    assert int8 in (False, True, "scale0")
     qcache = {} if int8 else None
+    q0 = qcache if int8 == "scale0" else None
 
     if x.ndim == 5:
         x = jnp.concatenate([x[:, i] for i in range(x.shape[1])], axis=-1)
@@ -347,7 +354,8 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             y = None if i == 0 else x_blocks[i - 1]
             if packed and i == 0:
                 e, states[0] = _enc_stage0_folded(
-                    p["bwd"]["enc_0"], e, states[0], None, dt, kc=kcache)
+                    p["bwd"]["enc_0"], e, states[0], None, dt, kc=kcache,
+                    q=q0)
             else:
                 e, states[i] = _enc_stage(
                     p["bwd"][f"enc_{i}"], i, atten_at, e, y, states[i],
@@ -375,7 +383,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             if packed and i == 0:
                 e, fwd_states[0] = _enc_stage0_folded(
                     p["fwd"]["enc_0"], e, fwd_states[0], bwd_final[0], dt,
-                    kc=kcache)
+                    kc=kcache, q=q0)
             else:
                 e, fwd_states[i] = _enc_stage(
                     p["fwd"][f"enc_{i}"], i, atten_at, e, y, fwd_states[i],

@@ -91,6 +91,8 @@ def main():
                                                 packed=True),
         "int8": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
                                               packed=True, int8=True),
+        "int8s0": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
+                                                packed=True, int8="scale0"),
         "fused": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=True,
                                                packed=False),
         "fused_aligned": lambda p, x, ev: fast_forward(

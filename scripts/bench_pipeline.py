@@ -1,0 +1,91 @@
+"""Pipeline-variant bench: EXACTLY bench.py's end-to-end harness (raw
+events + frames in, anti-LICM carries) parameterized over serving variants.
+
+Usage: python scripts/bench_pipeline.py [bf16 int8 int8s0 ...] [--iters 10]
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/refid_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+from refid_tpu.pipeline import BlurVFIPipeline
+
+
+def main():
+    argv = sys.argv[1:]
+    iters = 10
+    if "--iters" in argv:
+        i = argv.index("--iters")
+        iters = int(argv[i + 1])
+        del argv[i:i + 2]
+    which = argv or ["bf16"]
+
+    cfg = RefidConfig(dtype=jnp.bfloat16, unroll=True)
+    model = FinalBidirectionAttenfusion(cfg)
+    m, n = 11, 1
+    h, w = 720, 1280
+    N = 1 << 20
+    t = 2 * m + n
+    rng = np.random.RandomState(0)
+    blur0 = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    blur1 = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    events = np.empty((N, 4), np.float32)
+    events[:, 0] = np.sort(rng.rand(N))
+    events[:, 1] = rng.randint(0, w, N)
+    events[:, 2] = rng.randint(0, h, N)
+    events[:, 3] = rng.randint(0, 2, N)
+    events = jnp.asarray(events)
+    n_ev = jnp.int32(N)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, cfg.img_chn)),
+                        jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
+
+    variants = {
+        "bf16": dict(int8=False),
+        "int8": dict(int8=True),
+        "int8s0": dict(int8="scale0"),
+    }
+
+    for name in which:
+        pipe = BlurVFIPipeline(params, cfg, m=m, n=n, **variants[name])
+
+        @partial(jax.jit, static_argnums=(5,))
+        def bench_fn(params, b0, b1, events, n_ev, iters, _pipe=pipe):
+            def body(_, carry):
+                b0i, evi, s = carry
+                out = _pipe._run(params, b0i, b1, evi, n_ev,
+                                 height=h, width=w)
+                s = jnp.mean(out.astype(jnp.float32))
+                b0i = (b0.astype(jnp.float32) + s * 1e-12).astype(b0.dtype)
+                evi = events + s * 1e-12
+                return (b0i, evi, s)
+
+            return jax.lax.fori_loop(
+                0, iters, body, (b0, events, jnp.float32(0.0)))[2]
+
+        def bench_iters(k):
+            float(bench_fn(params, blur0, blur1, events, n_ev, k))
+            t0 = time.perf_counter()
+            float(bench_fn(params, blur0, blur1, events, n_ev, k))
+            return time.perf_counter() - t0
+
+        dt1 = bench_iters(1)
+        dt = (bench_iters(iters + 1) - dt1) / iters
+        print(f"{name:7s} e2e @720p t={t}: {dt*1e3:8.1f} ms/window "
+              f"({t/dt:5.1f} frames/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,3 +60,31 @@ def test_fast_forward_int8_db_vs_f32():
     # and the exact path still matches when int8 is off (guard the wiring)
     exact = np.asarray(fast_forward(params, cfg, x, ev, packed=True))
     assert np.abs(exact - ref).max() < 1e-4
+
+
+@pytest.mark.slow
+def test_fast_forward_int8_scale0_db_vs_f32():
+    """int8="scale0" (also quantizes the width-folded scale-0 encoder
+    trunks — the event-only chain) stays >= 30 dB vs the f32 forward.
+    Measured 77.5 dB at this shape; e2e @720p it is the fastest serving
+    mode (PERFORMANCE.md round-3)."""
+    import jax
+    import jax.numpy as jnp
+    from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+    from refid_tpu.serve import fast_forward
+
+    cfg = RefidConfig()
+    model = FinalBidirectionAttenfusion(cfg)
+    rng = np.random.RandomState(1)
+    b, t, h, w = 1, 5, 64, 64
+    x = jnp.asarray(rng.rand(b, h, w, cfg.img_chn).astype(np.float32))
+    ev = jnp.asarray(rng.rand(b, t, h, w, cfg.ev_chn).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(1), x[:, :32, :32],
+                        ev[:, :2, :32, :32])
+    ref = np.asarray(model.apply(params, x, ev))
+    got = np.asarray(fast_forward(params, cfg, x, ev, packed=True,
+                                  int8="scale0"))
+    span = ref.max() - ref.min()
+    rmse = np.sqrt(((got - ref) ** 2).mean())
+    db = 20 * np.log10(span / rmse)
+    assert db >= 30.0, f"int8=scale0 end-to-end only {db:.1f} dB vs f32"
