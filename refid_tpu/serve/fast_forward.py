@@ -77,14 +77,25 @@ def _cast(v, dtype):
     return v.astype(dtype) if dtype is not None else v
 
 
-def _egaca(p, event_feat, image_feat, dtype=None):
-    """CrossmodalAtten all_add=True (models/fusion.py:25-84)."""
+def _egaca_img_branch(p, image_feat, dtype=None):
+    """The image-side pre-gate chain of EGACA: norm1 -> conv1 -> depthwise
+    conv2 -> gelu.  Image features and per-direction params are identical
+    for every t step, so the serving loop computes this ONCE per direction
+    and reuses it (exact; the reference recomputes it per frame —
+    XXNet_final_attenfusion_arch.py:176/189)."""
     dw = p["conv1"]["kernel"].shape[-1]
     x = _layernorm2d(p["norm1"], image_feat, dtype)
-    x_e = _layernorm2d(p["norm1_e"], event_feat, dtype)
     x = _conv(p["conv1"], x, dtype=dtype)
     x = _conv(p["conv2"], x, padding=1, dtype=dtype, groups=dw)
-    x = jax.nn.gelu(x, approximate=False)
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _egaca(p, event_feat, image_feat, dtype=None, img_branch=None):
+    """CrossmodalAtten all_add=True (models/fusion.py:25-84)."""
+    dw = p["conv1"]["kernel"].shape[-1]
+    x = (_egaca_img_branch(p, image_feat, dtype)
+         if img_branch is None else img_branch)
+    x_e = _layernorm2d(p["norm1_e"], event_feat, dtype)
     x_e = _conv(p["conv1_e"], x_e, dtype=dtype)
     x_e = _conv(p["conv2_e"], x_e, padding=1, dtype=dtype, groups=dw)
     x_e = jax.nn.gelu(x_e, approximate=False)
@@ -135,7 +146,8 @@ def _trunk(p, x, state, dtype=None, fused=False, interpret=False, q=None):
 
 
 def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
-               fused=False, interpret=False, opt=False, q=None):
+               fused=False, interpret=False, opt=False, q=None,
+               egaca_img=None):
     """RecurrentEncoderStage (models/recurrent.py:89-145), simpleconv cell.
 
     ``opt`` enables two profile-guided algebraic rewrites (exact math):
@@ -160,7 +172,7 @@ def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
         if not opt:
             e = jnp.maximum(e, e * 0.2)  # ConvLayer + stage's extra lrelu
     elif i in atten_at:
-        e = _egaca(p["atten"], e, y, dtype)
+        e = _egaca(p["atten"], e, y, dtype, img_branch=egaca_img)
     else:
         slope = 0.04 if opt else 0.2
         if q is not None:
@@ -218,15 +230,22 @@ def _trunk_folded(p, x_f, s_f, r, dtype=None, kc=None, q=None):
 
 
 def _enc_stage0_folded(p, e_f2, state_f2, bwd_f2, dtype=None, kc=None,
-                       q=None):
+                       q=None, pre_staged=False):
     """Scale-0 encoder stage entirely in width-fold-2 (64ch -> 128 lanes):
     the full-resolution 32/64-channel tensors that pay 2-4x lane-padding
     tax in HBM never exist.  Exact math; the chained lrelus collapse to one
-    slope-0.04 epilogue and fuse_bidir runs as two concat-free matmuls."""
+    slope-0.04 epilogue and fuse_bidir runs as two concat-free matmuls.
+
+    ``pre_staged=True``: ``e_f2`` is already the stage conv's lrelu output
+    (the caller computes that image/state-independent conv from the
+    shared head-feature cache — serving-loop restructure, round 3)."""
     from refid_tpu.serve.packing import conv_s2d, down_conv_folded
-    pc = p["conv"]["conv"]
-    e = conv_s2d(e_f2, pc["kernel"], pc["bias"], (1, 2), dtype, cache=kc)
-    e = jnp.maximum(e, 0.04 * e)
+    if pre_staged:
+        e = e_f2
+    else:
+        pc = p["conv"]["conv"]
+        e = conv_s2d(e_f2, pc["kernel"], pc["bias"], (1, 2), dtype, cache=kc)
+        e = jnp.maximum(e, 0.04 * e)
     e = _trunk_folded(p["rec"]["trunk"], e, state_f2, 2, dtype, kc=kc, q=q)
     new_state = e
     if bwd_f2 is not None:
@@ -313,12 +332,26 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
                 event.reshape(b * t, h, w, event.shape[-1]), 2)
         hf = conv_s2d(evp, p["head"]["kernel"], p["head"]["bias"], 2, dt)
         hf = jnp.maximum(hf, 0.2 * hf)
-        head_cache = hf.reshape(b, t, h // 2, w // 2, hf.shape[-1])
+        # ONE s2d->wfold repack of the head features for all t (the
+        # round-2 path repacked per step per direction: 46 full-res
+        # transposes; one batched repack serves BOTH scan directions).
+        # The scale-0 stage conv runs per step from this cache, already
+        # fused with its lrelu epilogue (the 0.04 slope is the collapsed
+        # double-lrelu; exact — the stage conv is image/state-independent).
+        # Measured A/B (PERFORMANCE.md round 3): this = 21.84 fps e2e vs
+        # 21.48 for the per-step repack; ALSO batching the stage conv over
+        # t x directions is a measured LOSS (17.15 fps) — the two
+        # (b,t,h,w/2,C) activation caches (2x2.7 GB at 720p/t=23) come
+        # back through T(2,128) relayout fusions costing far more than
+        # the batching saves.
+        hfw_c = s2d_to_wfold(hf).reshape(b, t, h, w // 2, -1)
+        pre_staged = True
 
-        def head_e(k):
-            # straight to the width-fold-2 scale-0 pipeline: the full-res
-            # 32-channel head tensor is never materialized
-            return s2d_to_wfold(head_cache[:, k])
+        def stage_e(d, k):
+            pc = p[d]["enc_0"]["conv"]["conv"]
+            s_ = conv_s2d(hfw_c[:, k], pc["kernel"], pc["bias"],
+                          (1, 2), dt, cache=kcache)
+            return jnp.maximum(s_, 0.04 * s_)
     else:
         def head_e(k):
             return _conv(p["head"], event[:, k], padding=2, slope=0.2,
@@ -336,6 +369,17 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
         cur = _conv(pi["down"], o, stride=2, padding=1, dtype=dt)
         x_blocks.append(cur)
 
+    # EGACA's image-side pre-gate chain (norm1 -> conv1 -> dw conv2 -> gelu)
+    # depends only on the image pyramid and per-direction params — compute
+    # it ONCE per (direction, attended stage) instead of per t step (exact;
+    # also guarantees what XLA CSE may or may not find in the unrolled graph)
+    egaca_img = {}
+    for d in ("bwd", "fwd"):
+        for i in atten_at:
+            if 0 < i < n_enc:
+                egaca_img[(d, i)] = _egaca_img_branch(
+                    p[d][f"enc_{i}"]["atten"], x_blocks[i - 1], dt)
+
     zdt = dt or jnp.float32
     enc_zero = [jnp.zeros((b, h >> i, w >> i,
                            cfg.encoder_out_sizes[i]), zdt)
@@ -349,17 +393,18 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
     # backward scan — aliased mode only needs the final carry
     states = list(enc_zero)
     for k in range(t - 1, -1, -1):
-        e = head_e(k)
+        e = stage_e("bwd", k) if packed else head_e(k)
         for i in range(n_enc):
             y = None if i == 0 else x_blocks[i - 1]
             if packed and i == 0:
                 e, states[0] = _enc_stage0_folded(
                     p["bwd"]["enc_0"], e, states[0], None, dt, kc=kcache,
-                    q=q0)
+                    q=q0, pre_staged=pre_staged)
             else:
                 e, states[i] = _enc_stage(
                     p["bwd"][f"enc_{i}"], i, atten_at, e, y, states[i],
-                    None, dt, fused, interpret, opt=packed, q=qcache)
+                    None, dt, fused, interpret, opt=packed, q=qcache,
+                    egaca_img=egaca_img.get(("bwd", i)))
     bwd_final = states
 
     # forward scan + bottleneck + recurrent decoder + prediction
@@ -376,18 +421,19 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
         xh_f4 = space_to_depth(xh, (1, 4))
     outs = []
     for k in range(t):
-        e = head_e(k)
+        e = stage_e("fwd", k) if packed else head_e(k)
         e_blocks = []
         for i in range(n_enc):
             y = None if i == 0 else x_blocks[i - 1]
             if packed and i == 0:
                 e, fwd_states[0] = _enc_stage0_folded(
                     p["fwd"]["enc_0"], e, fwd_states[0], bwd_final[0], dt,
-                    kc=kcache, q=q0)
+                    kc=kcache, q=q0, pre_staged=pre_staged)
             else:
                 e, fwd_states[i] = _enc_stage(
                     p["fwd"][f"enc_{i}"], i, atten_at, e, y, fwd_states[i],
-                    bwd_final[i], dt, fused, interpret, opt=packed, q=qcache)
+                    bwd_final[i], dt, fused, interpret, opt=packed, q=qcache,
+                    egaca_img=egaca_img.get(("fwd", i)))
             e_blocks.append(e)
         for j in range(cfg.num_residual_blocks):
             pr = p["fwd"][f"res_{j}"]

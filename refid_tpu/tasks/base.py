@@ -62,8 +62,23 @@ class RestorationTaskBase:
             self.tx, self.lr_schedule = build_optimizer(
                 t, t.get("total_iter", 200000))
             self.ema_decay = t.get("ema_decay")
+            apply_fn = self.net.apply
+            if t.get("folded_apply"):
+                # width-folded lax.scan training forward (exact math,
+                # serve/fast_scan.py) — opt-in; requires the production
+                # architecture axes (same gate as the serving fast path)
+                from refid_tpu.pipeline import _fast_serving_applicable
+                cfg = getattr(self.net, "cfg", None)
+                if cfg is None or not _fast_serving_applicable(cfg):
+                    raise ValueError(
+                        "train.folded_apply requires the production "
+                        "FinalBidirectionAttenfusion configuration "
+                        "(see pipeline._fast_serving_applicable)")
+                from refid_tpu.serve.fast_scan import make_fast_apply
+                apply_fn = make_fast_apply(cfg, remat=t.get(
+                    "folded_apply_remat", True))
             self._train_step = make_train_step(
-                self.net.apply, self.loss_fn, ema_decay=self.ema_decay)
+                apply_fn, self.loss_fn, ema_decay=self.ema_decay)
         self.ckpt: Optional[CheckpointManager] = None
         models_dir = opt.get("path", {}).get("models")
         if models_dir:

@@ -55,6 +55,13 @@ def build_variants():
         "bf16_st": dict(dtype=jnp.bfloat16, scan_split_transpose=True),
         "bf16_remat_stageout": dict(dtype=jnp.bfloat16, remat=True,
                                     remat_policy="stage_outputs"),
+        # width-folded lax.scan training forward (serve/fast_scan.py):
+        # exact math, lane-dense scale-0, bounded graph
+        "folded_bf16_remat": dict(dtype=jnp.bfloat16, folded=True,
+                                  folded_remat=True),
+        "folded_bf16": dict(dtype=jnp.bfloat16, folded=True,
+                            folded_remat=False),
+        "folded_f32_remat": dict(dtype=None, folded=True, folded_remat=True),
     }
 
 
@@ -65,8 +72,16 @@ def bench_variant(name, cfg_kwargs, iters=8, b=1, t=23, hw=256):
     from refid_tpu.train.losses import charbonnier_loss
     from refid_tpu.train.trainer import (build_optimizer, create_train_state)
 
+    cfg_kwargs = dict(cfg_kwargs)
+    folded = cfg_kwargs.pop("folded", False)
+    folded_remat = cfg_kwargs.pop("folded_remat", True)
     cfg = RefidConfig(**cfg_kwargs)
     model = FinalBidirectionAttenfusion(cfg)
+    if folded:
+        from refid_tpu.serve.fast_scan import make_fast_apply
+        apply_fn = make_fast_apply(cfg, remat=folded_remat)
+    else:
+        apply_fn = model.apply
     rng = np.random.RandomState(0)
     lq = jnp.asarray(rng.rand(b, hw, hw, cfg.img_chn).astype(np.float32))
     vox = jnp.asarray(rng.rand(b, t, hw, hw, cfg.ev_chn).astype(np.float32))
@@ -85,7 +100,7 @@ def bench_variant(name, cfg_kwargs, iters=8, b=1, t=23, hw=256):
 
     def one_step(state, lq, vox, gt):
         def compute_loss(p):
-            pred = model.apply(p, lq, vox)
+            pred = apply_fn(p, lq, vox)
             return charbonnier_loss(pred.astype(jnp.float32), gt)
         loss, grads = jax.value_and_grad(compute_loss)(state.params)
         return state.apply_gradients(grads), loss
