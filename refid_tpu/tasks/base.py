@@ -62,21 +62,30 @@ class RestorationTaskBase:
             self.tx, self.lr_schedule = build_optimizer(
                 t, t.get("total_iter", 200000))
             self.ema_decay = t.get("ema_decay")
-            apply_fn = self.net.apply
-            if t.get("folded_apply"):
-                # width-folded lax.scan training forward (exact math,
-                # serve/fast_scan.py) — opt-in; requires the production
-                # architecture axes (same gate as the serving fast path)
-                from refid_tpu.pipeline import _fast_serving_applicable
-                cfg = getattr(self.net, "cfg", None)
-                if cfg is None or not _fast_serving_applicable(cfg):
-                    raise ValueError(
-                        "train.folded_apply requires the production "
-                        "FinalBidirectionAttenfusion configuration "
-                        "(see pipeline._fast_serving_applicable)")
+            # width-folded lax.scan training forward (exact math — equal
+            # forward/grads/loss-trajectory, tests/test_fast_scan.py;
+            # measured 443 -> 367 ms/step at the production recipe shape,
+            # PERFORMANCE.md round 3).  Auto-enabled when the config
+            # matches the production architecture (same gate as the
+            # serving fast path); train.folded_apply: false opts out,
+            # true asserts applicability.
+            from refid_tpu.pipeline import _fast_serving_applicable
+            cfg = getattr(self.net, "cfg", None)
+            applicable = cfg is not None and _fast_serving_applicable(cfg)
+            folded = t.get("folded_apply")
+            if folded is None:
+                folded = applicable
+            elif folded and not applicable:
+                raise ValueError(
+                    "train.folded_apply requires the production "
+                    "FinalBidirectionAttenfusion configuration "
+                    "(see pipeline._fast_serving_applicable)")
+            if folded:
                 from refid_tpu.serve.fast_scan import make_fast_apply
                 apply_fn = make_fast_apply(cfg, remat=t.get(
                     "folded_apply_remat", True))
+            else:
+                apply_fn = self.net.apply
             self._train_step = make_train_step(
                 apply_fn, self.loss_fn, ema_decay=self.ema_decay)
         self.ckpt: Optional[CheckpointManager] = None
