@@ -31,7 +31,7 @@ from refid_tpu.serve.fast_forward import (_conv, _egaca_img_branch,
 __all__ = ["make_fast_apply", "fast_apply_scan"]
 
 
-def fast_apply_scan(params, cfg, x, event, *, remat=True):
+def fast_apply_scan(params, cfg, x, event, *, remat=True, unroll=1):
     """Production blur-VFI forward (aliased backward states) as two
     ``lax.scan``s over width-folded step bodies.  Same input/output
     contract as ``model.apply`` / ``fast_forward``:
@@ -129,7 +129,7 @@ def fast_apply_scan(params, cfg, x, event, *, remat=True):
     if remat:
         bwd_body = jax.checkpoint(bwd_body, prevent_cse=False)
     bwd_final, _ = jax.lax.scan(bwd_body, tuple(enc_zero), stage["bwd"],
-                                reverse=True)
+                                reverse=True, unroll=unroll)
 
     dec_zero = [jnp.zeros((b, h >> (n_enc - i - 1), w >> (n_enc - i - 1),
                            cfg.encoder_out_sizes[n_enc - i - 1] // 2), zdt)
@@ -188,7 +188,7 @@ def fast_apply_scan(params, cfg, x, event, *, remat=True):
     if remat:
         fwd_body = jax.checkpoint(fwd_body, prevent_cse=False)
     _, outs = jax.lax.scan(fwd_body, (tuple(enc_zero), tuple(dec_zero)),
-                           stage["fwd"])
+                           stage["fwd"], unroll=unroll)
     # outs (t, b, h, w/4, 4*oc) -> (b, t, h, w, oc)
     oc4 = outs.shape[-1]
     outs = outs.transpose(1, 0, 2, 3, 4)
@@ -197,9 +197,10 @@ def fast_apply_scan(params, cfg, x, event, *, remat=True):
             b, t, h, w, oc4 // 4)
 
 
-def make_fast_apply(cfg, remat=True):
+def make_fast_apply(cfg, remat=True, unroll=1):
     """Drop-in ``apply_fn(params, lq, voxel) -> pred`` for
     train.trainer.make_train_step, running the folded scan forward."""
     def apply_fn(params, lq, voxel):
-        return fast_apply_scan(params, cfg, lq, voxel, remat=remat)
+        return fast_apply_scan(params, cfg, lq, voxel, remat=remat,
+                               unroll=unroll)
     return apply_fn

@@ -62,6 +62,8 @@ def build_variants():
         "folded_bf16": dict(dtype=jnp.bfloat16, folded=True,
                             folded_remat=False),
         "folded_f32_remat": dict(dtype=None, folded=True, folded_remat=True),
+        "folded_bf16_remat_su4": dict(dtype=jnp.bfloat16, folded=True,
+                                      folded_remat=True, folded_unroll=4),
     }
 
 
@@ -75,11 +77,13 @@ def bench_variant(name, cfg_kwargs, iters=8, b=1, t=23, hw=256):
     cfg_kwargs = dict(cfg_kwargs)
     folded = cfg_kwargs.pop("folded", False)
     folded_remat = cfg_kwargs.pop("folded_remat", True)
+    folded_unroll = cfg_kwargs.pop("folded_unroll", 1)
     cfg = RefidConfig(**cfg_kwargs)
     model = FinalBidirectionAttenfusion(cfg)
     if folded:
         from refid_tpu.serve.fast_scan import make_fast_apply
-        apply_fn = make_fast_apply(cfg, remat=folded_remat)
+        apply_fn = make_fast_apply(cfg, remat=folded_remat,
+                                   unroll=folded_unroll)
     else:
         apply_fn = model.apply
     rng = np.random.RandomState(0)

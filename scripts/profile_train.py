@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--folded", action="store_true",
+                    help="profile the width-folded scan apply "
+                         "(serve/fast_scan.py) instead of model.apply")
     ap.add_argument("--dir", default="/tmp/refid_profile_train")
     args = ap.parse_args()
 
@@ -55,10 +58,16 @@ def main():
     tx, _ = build_optimizer(train_opt, 200000)
     state = create_train_state(params, tx)
 
+    if args.folded:
+        from refid_tpu.serve.fast_scan import make_fast_apply
+        apply_fn = make_fast_apply(cfg, remat=not args.no_remat)
+    else:
+        apply_fn = model.apply
+
     @jax.jit
     def step(state, lq, vox, gt):
         def loss_fn(p):
-            pred = model.apply(p, lq, vox).astype(jnp.float32)
+            pred = apply_fn(p, lq, vox).astype(jnp.float32)
             return charbonnier_loss(pred, gt)
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
@@ -78,7 +87,8 @@ def main():
     per_op, per_cat, total = parse_xplane(paths[-1])
 
     tag = ("f32" if args.f32 else "bf16") + \
-        ("" if args.no_remat else "+remat")
+        ("" if args.no_remat else "+remat") + \
+        ("+folded" if args.folded else "")
     print(f"== train step {tag} hw={hw} t={t}: "
           f"total device op time {total:.1f} ms ==")
     print("-- by category --")

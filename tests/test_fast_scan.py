@@ -24,8 +24,9 @@ def _setup(seed=0, base=8, h=24, w=32, t=4):
 def test_fast_scan_matches_model():
     cfg, model, params, x, ev = _setup()
     want = np.asarray(model.apply(params, x, ev))
-    for remat in (False, True):
-        got = np.asarray(fast_apply_scan(params, cfg, x, ev, remat=remat))
+    for remat, unroll in ((False, 1), (True, 1), (True, 2)):
+        got = np.asarray(fast_apply_scan(params, cfg, x, ev, remat=remat,
+                                         unroll=unroll))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
