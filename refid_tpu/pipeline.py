@@ -60,8 +60,12 @@ class BlurVFIPipeline:
         self.voxelizer = voxelizer  # 'pallas': fully on-device sort +
         # one-hot-MXU kernel (events/voxel_pallas.voxelize_device) instead
         # of the XLA scatter
-        self.int8 = int8  # int8 MXU serving (NOT exact math; 52 vs 46
-        # frames/s @720p — serve/quant.py, dB-gated in tests/test_quant.py)
+        assert int8 in (False, True, "scale0", "static")
+        self.int8 = int8  # int8 MXU serving (NOT exact math —
+        # serve/quant.py, dB-gated in tests/test_quant.py).  "static" =
+        # widest coverage with CALIBRATED activation scales; requires one
+        # .calibrate(...) call on representative inputs before serving.
+        self._int8_scales = None
         self.norm_voxel = norm_voxel  # parity: recurrent recipe skips norm
         self.model = FinalBidirectionAttenfusion(cfg)
         # the packed/width-folded serving forward (serve/fast_forward.py,
@@ -71,8 +75,7 @@ class BlurVFIPipeline:
             fast = _fast_serving_applicable(cfg)
         self.fast = fast
 
-        @partial(jax.jit, static_argnames=("height", "width"))
-        def _run(params, frame0, frame1, events, n_events, height, width):
+        def _prep(frame0, frame1, events, n_events, height, width):
             if self.voxelizer == "pallas":
                 from refid_tpu.events.voxel_pallas import voxelize_device
                 vox = voxelize_device(events, n_events,
@@ -89,26 +92,54 @@ class BlurVFIPipeline:
                 std = jnp.sqrt(jnp.sum(vox ** 2) / cnt - mean ** 2)
                 vox = jnp.where(nz, (vox - mean) / std, 0.0)
             lq = self._make_lq(vox, frame0, frame1)[None]    # (1,h,w,chn)
-            t = self.num_bins - 1
+            return vox, lq, self.num_bins - 1
+
+        def _pack_pairs(vox, t):
+            # emit the PRE-PACKED serving format straight from the voxel
+            # grid: s2d(2,2) bin pairs (1, t, h/2, w/2, 8).  The
+            # full-resolution 2-channel pair stack (64x lane-padded in
+            # HBM) never materializes; XLA fuses the slice+reshape into
+            # the scatter output.  Exactness: identical ops to
+            # fast_forward's internal repack (tests/test_fast_forward).
+            from refid_tpu.serve.packing import space_to_depth
+            pairs_t = jnp.stack([vox[..., i:i + 2] for i in range(t)],
+                                axis=0)                     # (t,h,w,2)
+            return space_to_depth(pairs_t, 2)[None]         # (1,t,h/2,w/2,8)
+
+        @partial(jax.jit,
+                 static_argnames=("height", "width", "qscales"))
+        def _run(params, frame0, frame1, events, n_events, height, width,
+                 qscales=None):
+            vox, lq, t = _prep(frame0, frame1, events, n_events, height,
+                               width)
             if self.fast:
-                # emit the PRE-PACKED serving format straight from the voxel
-                # grid: s2d(2,2) bin pairs (1, t, h/2, w/2, 8).  The
-                # full-resolution 2-channel pair stack (64x lane-padded in
-                # HBM) never materializes; XLA fuses the slice+reshape into
-                # the scatter output.  Exactness: identical ops to
-                # fast_forward's internal repack (tests/test_fast_forward).
                 from refid_tpu.serve import fast_forward
-                from refid_tpu.serve.packing import space_to_depth
-                pairs_t = jnp.stack([vox[..., i:i + 2] for i in range(t)],
-                                    axis=0)                 # (t,h,w,2)
-                packed = space_to_depth(pairs_t, 2)[None]   # (1,t,h/2,w/2,8)
-                return fast_forward(params, self.cfg, lq, packed,
-                                    packed=True, int8=self.int8)[0]
+                qstate = None
+                if self.int8 == "static":
+                    if qscales is None:
+                        raise ValueError(
+                            "int8='static' serving requires calibration: "
+                            "call pipe.calibrate(...) first")
+                    qstate = {"amax": list(qscales)}
+                return fast_forward(params, self.cfg, lq,
+                                    _pack_pairs(vox, t), packed=True,
+                                    int8=self.int8, qstate=qstate)[0]
             pairs = jnp.stack([vox[..., i:i + 2] for i in range(t)],
                               axis=0)[None]                 # (1,t,h,w,2)
             return self.model.apply(params, lq, pairs)[0]   # (t,h,w,3)
 
+        @partial(jax.jit, static_argnames=("height", "width"))
+        def _calib(params, frame0, frame1, events, n_events, height, width):
+            from refid_tpu.serve import fast_forward
+            vox, lq, t = _prep(frame0, frame1, events, n_events, height,
+                               width)
+            q = {}
+            out = fast_forward(params, self.cfg, lq, _pack_pairs(vox, t),
+                               packed=True, int8="calib", qstate=q)
+            return out[0], jnp.stack(q["amax"])
+
         self._run = _run
+        self._calib_fn = _calib
 
     # --- task-specific hooks (overridden by SharpVFIPipeline) --------------
 
@@ -122,21 +153,40 @@ class BlurVFIPipeline:
         return jnp.concatenate(
             [frame0, vox[..., 1:m], frame1, vox[..., m + 2 + n:]], axis=-1)
 
+    @staticmethod
+    def _pad_events(events: np.ndarray, capacity: Optional[int]):
+        n_ev = events.shape[0]
+        if capacity is None:
+            capacity = max(1 << 14, 1 << int(np.ceil(np.log2(max(n_ev, 1)))))
+        padded = np.zeros((capacity, 4), np.float32)
+        padded[:n_ev] = events
+        return jnp.asarray(padded), jnp.int32(n_ev)
+
+    def calibrate(self, blur0: np.ndarray, blur1: np.ndarray,
+                  events: np.ndarray,
+                  capacity: Optional[int] = None) -> jnp.ndarray:
+        """Record per-site activation amaxes for ``int8='static'`` serving
+        (serve/quant.py).  Run once on representative inputs (same m/n —
+        site order is matched by call order).  Returns the exact-math
+        output of the calibration forward."""
+        h, w = blur0.shape[:2]
+        ev, n_ev = self._pad_events(events, capacity)
+        out, amax = self._calib_fn(
+            self.params, jnp.asarray(blur0, jnp.float32),
+            jnp.asarray(blur1, jnp.float32), ev, n_ev, height=h, width=w)
+        self._int8_scales = tuple(float(a) for a in np.asarray(amax))
+        return out
+
     def __call__(self, blur0: np.ndarray, blur1: np.ndarray,
                  events: np.ndarray,
                  capacity: Optional[int] = None) -> jnp.ndarray:
         """blur frames (h,w,3) RGB [0,1]; events (N,4) [t,x,y,p] sorted by t.
         Returns (2m+n, h, w, 3) device array of sharp frames."""
         h, w = blur0.shape[:2]
-        n_ev = events.shape[0]
-        if capacity is None:
-            capacity = max(1 << 14, 1 << int(np.ceil(np.log2(max(n_ev, 1)))))
-        padded = np.zeros((capacity, 4), np.float32)
-        padded[:n_ev] = events
+        ev, n_ev = self._pad_events(events, capacity)
         return self._run(self.params, jnp.asarray(blur0, jnp.float32),
-                         jnp.asarray(blur1, jnp.float32),
-                         jnp.asarray(padded), jnp.int32(n_ev),
-                         height=h, width=w)
+                         jnp.asarray(blur1, jnp.float32), ev, n_ev,
+                         height=h, width=w, qscales=self._int8_scales)
 
 
 class SharpVFIPipeline(BlurVFIPipeline):

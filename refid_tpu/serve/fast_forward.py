@@ -261,7 +261,7 @@ def _enc_stage0_folded(p, e_f2, state_f2, bwd_f2, dtype=None, kc=None,
 
 
 def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
-                 interpret=False, int8=False):
+                 interpret=False, int8=False, qstate=None):
     """Production blur-VFI forward (aliased backward states), trace-time
     unrolled.  x (b, h, w, img_chn) or (b, 2, h, w, c); event
     (b, t, h, w, ev_chn).  Returns (b, t, h, w, out_chn).
@@ -303,9 +303,30 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
     # loop-invariant event tensor, XLA hoisted the whole image-independent
     # scale-0 chain out of every timing loop; PERFORMANCE.md round-3
     # correction).
-    assert int8 in (False, True, "scale0")
-    qcache = {} if int8 else None
-    q0 = qcache if int8 == "scale0" else None
+    # ``int8="static"`` quantizes the widest coverage — scale-0 chain AND
+    # the folded full-res decoder trunks — with CALIBRATED per-site
+    # activation scales (serve/quant.py): the on-device amax reductions
+    # that made dynamic int8 a loss on the decoder trunks disappear.
+    # Requires ``qstate={"amax": [...]}`` from a prior ``int8="calib"``
+    # pass (same config/t; sites are matched by call order).
+    assert int8 in (False, True, "scale0", "static", "calib")
+    if int8 in ("static", "calib"):
+        assert qstate is not None, \
+            "int8='static'/'calib' needs qstate (see serve/quant.py)"
+        if int8 == "calib":
+            qstate["mode"] = "calib"
+            qstate.setdefault("amax", [])
+            qcache = qstate
+        else:
+            qcache = {"mode": "static", "amax": list(qstate["amax"]),
+                      "idx": 0}
+        q0 = qdec = qcache
+    elif int8:
+        qcache = {}
+        q0 = qcache if int8 == "scale0" else None
+        qdec = None
+    else:
+        qcache = q0 = qdec = None
 
     if x.ndim == 5:
         x = jnp.concatenate([x[:, i] for i in range(x.shape[1])], axis=-1)
@@ -457,7 +478,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
                     e + skip, pd["up"]["kernel"], pd["up"]["bias"], dt,
                     r_in=1, r_out=2)
                 e = _trunk_folded(pd["trunk"], up, dec_states[i], 2, dt,
-                                  kc=kcache)
+                                  kc=kcache, q=qdec)
             elif packed and i == n_enc - 1:
                 # full-res decoder stage in width-fold-4 (32ch -> 128 lanes)
                 # e is width-fold-2 from dec_1; the skip folds to match
@@ -466,7 +487,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
                     e + skip_f2, pd["up"]["kernel"], pd["up"]["bias"], dt,
                     r_in=2, r_out=4)
                 e = _trunk_folded(pd["trunk"], up, dec_states[i], 4, dt,
-                                  kc=kcache)
+                                  kc=kcache, q=qdec)
             else:
                 up = _conv_transpose_up(pd["up"], e + skip, dt)
                 e = _trunk(pd["trunk"], up, dec_states[i], dt, fused,
@@ -485,4 +506,9 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
         out = depth_to_space(
             out.reshape(b * t, h, w // 4, oc), (1, 4)).reshape(
                 b, t, h, w, oc // 4)
+    if int8 == "static":
+        assert qcache["idx"] == len(qcache["amax"]), \
+            (f"calibration/serving site-count mismatch: consumed "
+             f"{qcache['idx']} of {len(qcache['amax'])} scales — calibrate "
+             f"with the same config and t")
     return out

@@ -5,12 +5,23 @@ ceiling, PERFORMANCE.md "Remaining headroom").
 Scheme: symmetric int8.
   * weights: PER-OUTPUT-CHANNEL scales, quantized at trace time from the
     f32 params (cached per trace like the folded kernels).
-  * activations: per-tensor DYNAMIC scale (amax / 127), computed on device
-    per conv input.  No calibration data needed; the amax reduction and
-    quantize pass are XLA-fused into neighbors where possible.
+  * activations: per-tensor scale, either DYNAMIC (amax / 127 computed on
+    device per conv input — no calibration needed) or STATIC (calibrated:
+    a recorded amax baked in as an HLO constant, removing the per-site
+    reduction AND its serialization against the quantize pass — the cost
+    that made dynamic int8 a measured LOSS on the full-res decoder
+    trunks).
 
-Accumulation in int32, rescale in f32, bias + activation in the f32/bf16
-epilogue.  Exactness: this is NOT exact math — gate on measured dB vs the
+The quant-state dict (``cache``) carries the mode:
+  {"mode": "dynamic"} (or a plain {})  — dynamic scales;
+  {"mode": "calib", "amax": []}        — EXACT bf16 math, appending each
+      site's f32 amax tracer to ``amax`` in call order;
+  {"mode": "static", "amax": [...], "idx": 0} — static scales consumed
+      in the SAME call order (calibration and serving execute the same
+      trace path, so order is the site identity).
+
+Accumulation in int32, rescale in the output dtype, bias + activation in
+the epilogue.  Exactness: NOT exact math — gate on measured dB vs the
 f32 forward (tests/test_quant.py) the way bf16 was qualified (65 dB).
 """
 
@@ -20,6 +31,22 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["quantize_kernel", "quantize_act", "conv_int8"]
+
+
+def _act_scale(cache, x):
+    """Resolve the activation scale per the cache mode.  Returns
+    ("calib", None) when the caller must run exact math, else
+    (mode, scale) where scale is None for dynamic."""
+    mode = "dynamic" if cache is None else cache.get("mode", "dynamic")
+    if mode == "calib":
+        cache["amax"].append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        return "calib", None
+    if mode == "static":
+        i = cache["idx"]
+        cache["idx"] = i + 1
+        amax = cache["amax"][i]
+        return "static", max(float(amax), 1e-12) / 127.0
+    return "dynamic", None
 
 
 def quantize_kernel(k, cache=None):
@@ -41,10 +68,13 @@ def quantize_kernel(k, cache=None):
     return kq, scale
 
 
-def quantize_act(x):
-    """Per-tensor dynamic symmetric quantization -> (int8 x, f32 scale)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    scale = jnp.maximum(amax, 1e-12) / 127.0
+def quantize_act(x, scale=None):
+    """Per-tensor symmetric quantization -> (int8 x, scale).  With
+    ``scale`` (a python float from calibration) the on-device amax
+    reduction is skipped and the scale folds in as an HLO constant."""
+    if scale is None:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        scale = jnp.maximum(amax, 1e-12) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
                   -127, 127).astype(jnp.int8)
     return xq, scale
@@ -55,10 +85,25 @@ def conv_int8(p, x, stride=1, padding=0, slope=None, relu=False,
     """Drop-in for serve.fast_forward._conv with int8 MXU arithmetic.
 
     ``p`` holds f32/bf16 {kernel, bias}; the kernel is quantized at trace
-    time (memoized via ``cache``), the input dynamically on device.
+    time (memoized via ``cache``), the input per the cache mode (dynamic /
+    static / calib — see module docstring).
     """
+    mode, xscale = _act_scale(cache, x)
+    if mode == "calib":  # exact math; only the amax was recorded
+        rdt = out_dtype or jnp.float32
+        y = jax.lax.conv_general_dilated(
+            x.astype(rdt), p["kernel"].astype(rdt), (stride, stride),
+            [(padding, padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if "bias" in p:
+            y = y + p["bias"].astype(rdt)
+        if relu:
+            y = jax.nn.relu(y)
+        elif slope is not None:
+            y = jnp.maximum(y, y * slope)
+        return y
     kq, wscale = quantize_kernel(p["kernel"], cache)
-    xq, xscale = quantize_act(x)
+    xq, xscale = quantize_act(x, xscale)
     y = jax.lax.conv_general_dilated(
         xq, kq, (stride, stride), [(padding, padding)] * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -86,6 +131,15 @@ def conv_s2d_int8(xp, w, bias=None, r=2, out_dtype=None, slope=None,
     the only way those sites get faster."""
     from refid_tpu.serve.packing import s2d_conv_kernel, _rr
     rh, rw = _rr(r)
+    mode, xscale = _act_scale(cache, xp)
+    if mode == "calib":  # exact folded math; only the amax was recorded
+        from refid_tpu.serve.packing import conv_s2d
+        y = conv_s2d(xp, w, bias, r, out_dtype)
+        if relu:
+            y = jax.nn.relu(y)
+        elif slope is not None:
+            y = jnp.maximum(y, y * slope)
+        return y
     key = ("q", id(w), (rh, rw))
     hit = None if cache is None else cache.get(key)
     if hit is None or hit[0] is not w:
@@ -95,7 +149,7 @@ def conv_s2d_int8(xp, w, bias=None, r=2, out_dtype=None, slope=None,
         if cache is not None:
             cache[key] = hit
     _, kq, wscale, padding = hit
-    xq, xscale = quantize_act(xp)
+    xq, xscale = quantize_act(xp, xscale)
     y = jax.lax.conv_general_dilated(
         xq, kq, (1, 1), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

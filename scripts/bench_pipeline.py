@@ -30,12 +30,16 @@ def main():
         i = argv.index("--iters")
         iters = int(argv[i + 1])
         del argv[i:i + 2]
+    h, w = 720, 1280
+    if "--hw" in argv:  # e.g. --hw 1224x1632 (HighREV)
+        i = argv.index("--hw")
+        h, w = map(int, argv[i + 1].split("x"))
+        del argv[i:i + 2]
     which = argv or ["bf16"]
 
     cfg = RefidConfig(dtype=jnp.bfloat16, unroll=True)
     model = FinalBidirectionAttenfusion(cfg)
     m, n = 11, 1
-    h, w = 720, 1280
     N = 1 << 20
     t = 2 * m + n
     rng = np.random.RandomState(0)
@@ -56,17 +60,25 @@ def main():
         "bf16": dict(int8=False),
         "int8": dict(int8=True),
         "int8s0": dict(int8="scale0"),
+        "int8st": dict(int8="static"),  # calibrated scales, widest coverage
     }
 
     for name in which:
         pipe = BlurVFIPipeline(params, cfg, m=m, n=n, **variants[name])
+        qscales = None
+        if name == "int8st":
+            pipe.calibrate(np.asarray(blur0), np.asarray(blur1),
+                           np.asarray(events))
+            qscales = pipe._int8_scales
+            print(f"calibrated {len(qscales)} sites", flush=True)
 
         @partial(jax.jit, static_argnums=(5,))
-        def bench_fn(params, b0, b1, events, n_ev, iters, _pipe=pipe):
+        def bench_fn(params, b0, b1, events, n_ev, iters, _pipe=pipe,
+                     _qs=qscales):
             def body(_, carry):
                 b0i, evi, s = carry
                 out = _pipe._run(params, b0i, b1, evi, n_ev,
-                                 height=h, width=w)
+                                 height=h, width=w, qscales=_qs)
                 s = jnp.mean(out.astype(jnp.float32))
                 b0i = (b0.astype(jnp.float32) + s * 1e-12).astype(b0.dtype)
                 evi = events + s * 1e-12
@@ -83,7 +95,7 @@ def main():
 
         dt1 = bench_iters(1)
         dt = (bench_iters(iters + 1) - dt1) / iters
-        print(f"{name:7s} e2e @720p t={t}: {dt*1e3:8.1f} ms/window "
+        print(f"{name:7s} e2e @{h}x{w} t={t}: {dt*1e3:8.1f} ms/window "
               f"({t/dt:5.1f} frames/s)", flush=True)
 
 

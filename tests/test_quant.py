@@ -88,3 +88,93 @@ def test_fast_forward_int8_scale0_db_vs_f32():
     rmse = np.sqrt(((got - ref) ** 2).mean())
     db = 20 * np.log10(span / rmse)
     assert db >= 30.0, f"int8=scale0 end-to-end only {db:.1f} dB vs f32"
+
+
+def test_calibrate_then_static_int8():
+    """int8='static' (calibrated activation scales, widest coverage incl.
+    the folded decoder trunks): the calib pass is EXACT math, site counts
+    match between calibration and serving, and static serving stays
+    >= 28 dB vs f32 both on the calibration input and on a fresh input."""
+    import jax
+    import jax.numpy as jnp
+    from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+    from refid_tpu.serve import fast_forward
+
+    cfg = RefidConfig()
+    model = FinalBidirectionAttenfusion(cfg)
+    rng = np.random.RandomState(2)
+    b, t, h, w = 1, 3, 32, 32
+    x = jnp.asarray(rng.rand(b, h, w, cfg.img_chn).astype(np.float32))
+    ev = jnp.asarray(rng.rand(b, t, h, w, cfg.ev_chn).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(2), x, ev)
+    ref = np.asarray(model.apply(params, x, ev))
+
+    q = {}
+    calib_out = np.asarray(fast_forward(params, cfg, x, ev, packed=True,
+                                        int8="calib", qstate=q))
+    # calibration forward is exact math
+    np.testing.assert_allclose(calib_out, ref, atol=1e-4, rtol=1e-4)
+    scales = [float(a) for a in q["amax"]]
+    assert len(scales) > 20  # scale-0 + stages + bottleneck + decoders
+
+    def run_static(x_, ev_):
+        return np.asarray(fast_forward(
+            params, cfg, x_, ev_, packed=True, int8="static",
+            qstate={"amax": scales}))
+
+    for seed, (x_, ev_) in enumerate([
+            (x, ev),
+            (jnp.asarray(np.random.RandomState(9).rand(
+                b, h, w, cfg.img_chn).astype(np.float32)),
+             jnp.asarray(np.random.RandomState(9).rand(
+                 b, t, h, w, cfg.ev_chn).astype(np.float32)))]):
+        ref_ = np.asarray(model.apply(params, x_, ev_))
+        got = run_static(x_, ev_)
+        span = ref_.max() - ref_.min()
+        db = 20 * np.log10(span / np.sqrt(((got - ref_) ** 2).mean()))
+        assert db >= 28.0, f"static int8 input {seed}: {db:.1f} dB vs f32"
+
+
+def test_pipeline_static_int8_calibration():
+    """BlurVFIPipeline(int8='static'): serving before calibrate() raises;
+    after calibrate() it runs and tracks the exact pipeline output."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+    from refid_tpu.pipeline import BlurVFIPipeline
+
+    cfg = RefidConfig()
+    model = FinalBidirectionAttenfusion(cfg)
+    rng = np.random.RandomState(3)
+    h, w = 32, 32
+    m, n = 2, 1
+    params = model.init(
+        jax.random.PRNGKey(3),
+        jnp.zeros((1, h, w, cfg.img_chn)),
+        jnp.zeros((1, 3, h, w, cfg.ev_chn)))
+    blur0 = rng.rand(h, w, 3).astype(np.float32)
+    blur1 = rng.rand(h, w, 3).astype(np.float32)
+    events = np.stack([np.sort(rng.rand(500)),
+                       rng.randint(0, w, 500).astype(np.float32),
+                       rng.randint(0, h, 500).astype(np.float32),
+                       rng.randint(0, 2, 500).astype(np.float32)],
+                      axis=1).astype(np.float32)
+
+    # NOTE: img_chn=26 needs m=11; use the 8-ch config trick instead
+    cfg8 = RefidConfig(img_chn=8, num_encoders=2, base_num_channels=8,
+                       num_residual_blocks=1)
+    model8 = FinalBidirectionAttenfusion(cfg8)
+    params8 = model8.init(
+        jax.random.PRNGKey(3),
+        jnp.zeros((1, h, w, cfg8.img_chn)),
+        jnp.zeros((1, 3, h, w, cfg8.ev_chn)))
+    pipe = BlurVFIPipeline(params8, cfg8, m=m, n=n, int8="static")
+    with pytest.raises(ValueError, match="calibrat"):
+        pipe(blur0, blur1, events)
+    exact = np.asarray(pipe.calibrate(blur0, blur1, events))
+    got = np.asarray(pipe(blur0, blur1, events))
+    assert got.shape == exact.shape
+    span = exact.max() - exact.min()
+    db = 20 * np.log10(span / np.sqrt(((got - exact) ** 2).mean()))
+    assert db >= 25.0, f"pipeline static int8: {db:.1f} dB"
