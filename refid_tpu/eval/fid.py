@@ -33,7 +33,7 @@ def calculate_fid(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
 
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))  # (disp= removed in scipy 1.18)
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))

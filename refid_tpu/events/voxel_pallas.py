@@ -109,7 +109,7 @@ def _voxelize_bucketed(ev_planar, offsets, counts, num_bins, width, height,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (num_bins, band_h, width),
             lambda band, offsets, counts: (0, band, 0)),
@@ -291,7 +291,7 @@ def voxelize_device(events, n_valid, num_bins, width, height,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (num_bins, band_h, W),
             lambda band, starts, ends: (0, band, 0)),

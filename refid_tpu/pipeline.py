@@ -164,17 +164,41 @@ class BlurVFIPipeline:
 
     def calibrate(self, blur0: np.ndarray, blur1: np.ndarray,
                   events: np.ndarray,
-                  capacity: Optional[int] = None) -> jnp.ndarray:
+                  capacity: Optional[int] = None,
+                  crop: Optional[tuple] = None,
+                  headroom: float = 1.0) -> jnp.ndarray:
         """Record per-site activation amaxes for ``int8='static'`` serving
         (serve/quant.py).  Run once on representative inputs (same m/n —
         site order is matched by call order).  Returns the exact-math
-        output of the calibration forward."""
+        output of the calibration forward.
+
+        ``crop=(ch, cw)`` calibrates on the center crop instead of the
+        full frame: per-tensor amaxes transfer across resolution (the
+        trace path — hence site order — is resolution-independent), and
+        the full-res calibration graph (exact forward + a live amax edge
+        per conv site) needs ~18 GB HBM at 720p/t=23, over a v5e chip's
+        16 GB.  ``headroom`` scales the recorded amaxes up as a guard
+        against a crop underestimating full-frame outlier magnitudes."""
+        blur0, blur1 = np.asarray(blur0), np.asarray(blur1)
+        events = np.asarray(events)
+        if crop is not None:
+            ch, cw = crop
+            h, w = blur0.shape[:2]
+            y0, x0 = (h - ch) // 2, (w - cw) // 2
+            blur0 = blur0[y0:y0 + ch, x0:x0 + cw]
+            blur1 = blur1[y0:y0 + ch, x0:x0 + cw]
+            keep = ((events[:, 1] >= x0) & (events[:, 1] < x0 + cw)
+                    & (events[:, 2] >= y0) & (events[:, 2] < y0 + ch))
+            events = events[keep].copy()
+            events[:, 1] -= x0
+            events[:, 2] -= y0
         h, w = blur0.shape[:2]
         ev, n_ev = self._pad_events(events, capacity)
         out, amax = self._calib_fn(
             self.params, jnp.asarray(blur0, jnp.float32),
             jnp.asarray(blur1, jnp.float32), ev, n_ev, height=h, width=w)
-        self._int8_scales = tuple(float(a) for a in np.asarray(amax))
+        self._int8_scales = tuple(float(a) * headroom
+                                  for a in np.asarray(amax))
         return out
 
     def __call__(self, blur0: np.ndarray, blur1: np.ndarray,

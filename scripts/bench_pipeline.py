@@ -67,8 +67,12 @@ def main():
         pipe = BlurVFIPipeline(params, cfg, m=m, n=n, **variants[name])
         qscales = None
         if name == "int8st":
+            # calibrate on a center crop: the full-res calib graph OOMs
+            # HBM at 720p/t=23 (exact forward + per-site amax edges ~18G);
+            # amaxes transfer across resolution (pipeline.calibrate doc)
             pipe.calibrate(np.asarray(blur0), np.asarray(blur1),
-                           np.asarray(events))
+                           np.asarray(events), crop=(h // 2, w // 2),
+                           headroom=1.1)
             qscales = pipe._int8_scales
             print(f"calibrated {len(qscales)} sites", flush=True)
 

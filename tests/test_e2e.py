@@ -85,6 +85,7 @@ def env(tmp_path_factory):
     return data_root, exp_root
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(env, tmp_path):
     data_root, exp_root = env
     cfg = _write_cfg(tmp_path, data_root)
@@ -103,6 +104,7 @@ def test_train_cli_end_to_end(env, tmp_path):
     assert int(task2.state.step) == 8
 
 
+@pytest.mark.slow
 def test_validation_metrics(env, tmp_path):
     data_root, exp_root = env
     cfg = _write_cfg(tmp_path, data_root, name="e2e_val")
@@ -288,6 +290,7 @@ def test_sharp_vfi_serving_pipeline():
     np.testing.assert_allclose(out, want, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_test_cli_end_to_end(env, tmp_path):
     """cli.test over a saved orbax checkpoint reproduces training-time val."""
     data_root, exp_root = env

@@ -21,6 +21,7 @@ def _setup(seed=0, base=8, h=24, w=32, t=4):
     return cfg, model, params, x, ev
 
 
+@pytest.mark.slow
 def test_fast_forward_matches_model():
     cfg, model, params, x, ev = _setup()
     want = np.asarray(model.apply(params, x, ev))

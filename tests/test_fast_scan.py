@@ -2,6 +2,7 @@
 forward values AND parameter gradients, with and without remat."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,7 @@ def test_fast_scan_matches_model():
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fast_scan_gradients_match_model():
     """Charbonnier-loss parameter gradients: folded scan == model.apply."""
     cfg, model, params, x, ev = _setup(seed=1, t=3)
@@ -63,6 +65,7 @@ def test_fast_scan_gradients_match_model():
             atol=2e-5, err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
 def test_fast_scan_trains_via_trainer():
     """make_train_step(apply_fn=folded scan) takes steps and matches the
     model.apply step's loss trajectory."""
@@ -97,6 +100,7 @@ def test_fast_scan_trains_via_trainer():
     np.testing.assert_allclose(losses["fast"], losses["model"], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_task_folded_apply_option():
     """tasks/base.py honors train.folded_apply (and rejects non-production
     configs)."""

@@ -90,6 +90,7 @@ def test_fast_forward_int8_scale0_db_vs_f32():
     assert db >= 30.0, f"int8=scale0 end-to-end only {db:.1f} dB vs f32"
 
 
+@pytest.mark.slow
 def test_calibrate_then_static_int8():
     """int8='static' (calibrated activation scales, widest coverage incl.
     the folded decoder trunks): the calib pass is EXACT math, site counts
@@ -178,3 +179,50 @@ def test_pipeline_static_int8_calibration():
     span = exact.max() - exact.min()
     db = 20 * np.log10(span / np.sqrt(((got - exact) ** 2).mean()))
     assert db >= 25.0, f"pipeline static int8: {db:.1f} dB"
+
+
+@pytest.mark.slow
+def test_pipeline_static_int8_crop_calibration():
+    """calibrate(crop=...): per-tensor amaxes recorded on a center crop
+    transfer to full-resolution serving (site order is resolution-
+    independent).  This is how 720p serving calibrates on a v5e — the
+    full-res calibration graph exceeds chip HBM (pipeline.calibrate doc)."""
+    import jax
+    import jax.numpy as jnp
+    from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+    from refid_tpu.pipeline import BlurVFIPipeline
+
+    rng = np.random.RandomState(7)
+    h, w = 64, 64
+    m, n = 2, 1
+    cfg8 = RefidConfig(img_chn=8, num_encoders=2, base_num_channels=8,
+                       num_residual_blocks=1)
+    model8 = FinalBidirectionAttenfusion(cfg8)
+    params8 = model8.init(
+        jax.random.PRNGKey(7),
+        jnp.zeros((1, h, w, cfg8.img_chn)),
+        jnp.zeros((1, 3, h, w, cfg8.ev_chn)))
+    blur0 = rng.rand(h, w, 3).astype(np.float32)
+    blur1 = rng.rand(h, w, 3).astype(np.float32)
+    ne = 2000
+    events = np.stack([np.sort(rng.rand(ne)),
+                       rng.randint(0, w, ne).astype(np.float32),
+                       rng.randint(0, h, ne).astype(np.float32),
+                       rng.randint(0, 2, ne).astype(np.float32)],
+                      axis=1).astype(np.float32)
+
+    pipe = BlurVFIPipeline(params8, cfg8, m=m, n=n, int8="static")
+    pipe.calibrate(blur0, blur1, events, crop=(32, 32), headroom=1.1)
+    n_sites_crop = len(pipe._int8_scales)
+    got = np.asarray(pipe(blur0, blur1, events))
+
+    exact_pipe = BlurVFIPipeline(params8, cfg8, m=m, n=n)
+    exact = np.asarray(exact_pipe(blur0, blur1, events))
+    span = exact.max() - exact.min()
+    db = 20 * np.log10(span / np.sqrt(((got - exact) ** 2).mean()))
+    assert db >= 25.0, f"crop-calibrated static int8: {db:.1f} dB"
+
+    # site order/count is resolution-independent: full-res calibration
+    # records the same number of sites
+    pipe.calibrate(blur0, blur1, events)
+    assert len(pipe._int8_scales) == n_sites_crop
