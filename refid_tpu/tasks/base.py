@@ -48,7 +48,7 @@ class RestorationTaskBase:
         self.state: Optional[TrainState] = None
         self.start_iter = 0
         self.start_epoch = 0
-        self._predict_jit = jax.jit(self.net.apply)
+        self._predict_jit = jax.jit(self._make_predict_fn(opt))
 
         spatial = opt.get("mesh", {}).get("spatial", 1)
         self.mesh = make_mesh(data=-1, spatial=spatial)
@@ -185,6 +185,32 @@ class RestorationTaskBase:
             if nxt is not None:
                 q.append(self._to_device(nxt))
             yield out
+
+    def _make_predict_fn(self, opt: dict):
+        """Inference forward.  For EVHINet at its shipped geometry this is
+        the width-folded serving forward (serve/evhinet_fast.py — exact
+        math, tests/test_evhinet_fast.py); ``val.folded_predict: false``
+        opts out.  Shape applicability (two exact halvings + fold-2) is
+        decided per trace, falling back to ``net.apply``."""
+        from refid_tpu.models.evhinet import EVHINet
+        net = self.net
+        if (not isinstance(net, EVHINet) or net.depth != 3
+                or net.fac_place != 2
+                or opt.get("val", {}).get("folded_predict", True) is False):
+            return net.apply
+
+        def _pred(params, lq, voxel):
+            h, w = lq.shape[1:3]
+            if h % 4 == 0 and w % 4 == 0:
+                from refid_tpu.serve.evhinet_fast import evhinet_fast_forward
+                return evhinet_fast_forward(
+                    params, lq, voxel, wf=net.wf, depth=net.depth,
+                    fac_place=net.fac_place, hin_left=net.hin_left,
+                    hin_right=net.hin_right, relu_slope=net.relu_slope,
+                    dtype=net.dtype)
+            return net.apply(params, lq, voxel)
+
+        return _pred
 
     def predict(self, lq: np.ndarray, voxel: np.ndarray,
                 use_ema: bool = False) -> np.ndarray:

@@ -20,8 +20,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def main():
     from refid_tpu.models.evhinet import EVHINet
+    from refid_tpu.serve.evhinet_fast import evhinet_fast_forward
 
     dt = None if "--f32" in sys.argv else jnp.bfloat16
+    fast = "--fast" in sys.argv  # width-folded serving forward
     model = EVHINet(dtype=dt)
     rng = np.random.RandomState(0)
     h, w = 720, 1280
@@ -30,11 +32,16 @@ def main():
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 6)))
 
+    def fwd(p, x, ev):
+        if fast:
+            return evhinet_fast_forward(p, x, ev, dtype=dt)
+        return model.apply(p, x, ev)
+
     @partial(jax.jit, static_argnums=(3,))
     def loop(p, x, ev, iters):
         def body(_, carry):
             xi, evi, s = carry
-            out = model.apply(p, xi, evi)
+            out = fwd(p, xi, evi)
             s = jnp.mean(out.astype(jnp.float32))
             # chain BOTH inputs so the event-only branch cannot be hoisted
             xi = (x + s * 1e-12).astype(x.dtype)
@@ -49,7 +56,7 @@ def main():
     float(loop(params, x, ev, 17))
     t0 = time.perf_counter(); float(loop(params, x, ev, 17))
     dtm = (time.perf_counter() - t0 - d1) / 16
-    tag = "f32" if dt is None else "bf16"
+    tag = ("f32" if dt is None else "bf16") + (" folded" if fast else "")
     print(f"EVHINet {tag} 720p: {dtm*1e3:.1f} ms/frame "
           f"({1/dtm:.1f} frames/s)", flush=True)
 
