@@ -96,27 +96,34 @@ def _conv(p, x, stride=1, padding=0, dtype=None):
     return out
 
 
-def _conv_f(p, xf, dtype=None):
-    """Stride-1 conv on a width-fold-2 tensor (original kernel)."""
+def _conv_f(p, xf, dtype=None, q=None, slope=None):
+    """Stride-1 conv on a width-fold-2 tensor (original kernel).  ``q``
+    routes through int8 MXU arithmetic (serve/quant.py conv_s2d_int8 —
+    NOT exact math, dB-gated); ``slope`` fuses a leaky-relu epilogue."""
+    if q is not None:
+        from refid_tpu.serve.quant import conv_s2d_int8
+        return conv_s2d_int8(xf, p["kernel"], p.get("bias"), r=_R,
+                             out_dtype=dtype, slope=slope, cache=q)
     k, b = p["kernel"], p.get("bias")
     if dtype is not None:
         k = k.astype(dtype)
         b = None if b is None else b.astype(dtype)
         xf = xf.astype(dtype)
-    return conv_s2d(xf, k, b, r=_R)
+    out = conv_s2d(xf, k, b, r=_R)
+    return out if slope is None else _lrelu(out, slope)
 
 
 def _hin_block_folded(p, xf, slope, use_hin, filt=None, down=False,
-                      dtype=None):
+                      dtype=None, q=None):
     """HINConvBlock (models/evhinet.py:49) entirely in width-fold-2;
     the optional 4x4/2 downsample emits the UNFOLDED half-res output."""
-    out = _conv_f(p["conv1"], xf, dtype)
+    out = _conv_f(p["conv1"], xf, dtype, q)
     if use_hin:
         out = half_instance_norm_folded(
             out, *_cast((p["hin_scale"], p["hin_bias"]), dtype))
     out = _lrelu(out, slope)
-    out = _lrelu(_conv_f(p["conv2"], out, dtype), slope)
-    out = out + _conv_f(p["identity"], xf, dtype)
+    out = _lrelu(_conv_f(p["conv2"], out, dtype, q), slope)
+    out = out + _conv_f(p["identity"], xf, dtype, q)
     if filt is not None:
         out = fac_bias_folded(out, filt)
     if down:
@@ -126,24 +133,35 @@ def _hin_block_folded(p, xf, slope, use_hin, filt=None, down=False,
     return out
 
 
-def _ev_block_folded(p, xf, slope, use_hin, dtype=None):
+def _ev_block_folded(p, xf, slope, use_hin, dtype=None, q=None):
     """EVConvBlock (models/evhinet.py:82) in width-fold-2; returns
     (down_unfolded, merged_folded)."""
     down, out = _hin_block_folded(p, xf, slope, use_hin, down=True,
-                                  dtype=dtype)
-    return down, _conv_f(p["merge"], out, dtype)
+                                  dtype=dtype, q=q)
+    return down, _conv_f(p["merge"], out, dtype, q)
 
 
-def _hin_block(p, x, slope, use_hin, filt=None, down=False, dtype=None):
+def _conv_q(p, x, stride, padding, dtype, q, slope=None):
+    """Unfolded conv, optionally int8 (serve/quant.py conv_int8)."""
+    if q is not None and stride == 1:
+        from refid_tpu.serve.quant import conv_int8
+        return conv_int8(p, x, stride, padding, slope=slope,
+                         out_dtype=dtype, cache=q)
+    out = _conv(p, x, stride, padding, dtype)
+    return out if slope is None else _lrelu(out, slope)
+
+
+def _hin_block(p, x, slope, use_hin, filt=None, down=False, dtype=None,
+               q=None):
     """Unfolded HINConvBlock for the lane-saturated 128/256ch scales."""
     from refid_tpu.models.evhinet import half_instance_norm, fac_bias
-    out = _conv(p["conv1"], x, 1, 1, dtype)
+    out = _conv_q(p["conv1"], x, 1, 1, dtype, q)
     if use_hin:
         out = half_instance_norm(
             out, *_cast((p["hin_scale"], p["hin_bias"]), dtype))
     out = _lrelu(out, slope)
-    out = _lrelu(_conv(p["conv2"], out, 1, 1, dtype), slope)
-    out = out + _conv(p["identity"], x, 1, 0, dtype)
+    out = _lrelu(_conv_q(p["conv2"], out, 1, 1, dtype, q), slope)
+    out = out + _conv_q(p["identity"], x, 1, 0, dtype, q)
     if filt is not None:
         out = fac_bias(out, filt)
     if down:
@@ -153,13 +171,34 @@ def _hin_block(p, x, slope, use_hin, filt=None, down=False, dtype=None):
 
 def evhinet_fast_forward(params, x, event, *, wf=64, depth=3, fac_place=2,
                          hin_left=0, hin_right=4, relu_slope=0.2,
-                         dtype=None):
+                         dtype=None, int8=False, qstate=None):
     """Width-folded serving forward == EVHINet(...).apply(params, x, event)
     (models/evhinet.py:141-194) for the shipped single-stage geometry
     (depth=3, fac_place=2: two folded full-res stages, unfolded scales
-    1-2).  ``x`` (b,h,w,3), ``event`` (b,h,w,ev) or (b,t,h,w,c)."""
+    1-2).  ``x`` (b,h,w,3), ``event`` (b,h,w,ev) or (b,t,h,w,c).
+
+    ``int8`` routes the stride-1 block convs (conv1/conv2/identity/merge/
+    skip) through int8 MXU arithmetic — NOT exact math, dB-gated in
+    tests/test_evhinet_fast.py.  Modes follow serve/quant.py's quant-state
+    protocol: True = dynamic per-tensor scales; "calib" = exact math,
+    recording each site's amax into ``qstate``; "static" = calibrated
+    scales consumed from ``qstate`` as HLO constants (no on-device amax
+    reductions).  Downsample/transposed/SAM convs stay bf16."""
     assert depth == 3 and fac_place == 2, "folded path covers the " \
         "shipped EVHINet geometry; use model.apply for other shapes"
+    assert int8 in (False, True, "calib", "static")
+    if int8 in ("static", "calib"):
+        assert qstate is not None, "int8='static'/'calib' needs qstate"
+        if int8 == "calib":
+            qstate["mode"] = "calib"
+            qstate.setdefault("amax", [])
+            q = qstate
+        else:
+            q = {"mode": "static", "amax": list(qstate["amax"]), "idx": 0}
+    elif int8:
+        q = {}
+    else:
+        q = None
     p = params["params"]
     if event.ndim == 5:
         b, t = event.shape[:2]
@@ -171,34 +210,36 @@ def evhinet_fast_forward(params, x, event, *, wf=64, depth=3, fac_place=2,
 
     # event encoder (stage 0 folded; stage 1 unfolded; dead stage 2 dropped)
     e = _conv_f(p["conv_ev1"], evf, dtype)
-    e, merged0 = _ev_block_folded(p["ev_0"], e, relu_slope, hin(0), dtype)
+    e, merged0 = _ev_block_folded(p["ev_0"], e, relu_slope, hin(0), dtype,
+                                  q=q)
     _, out1 = _hin_block(p["ev_1"], e, relu_slope, hin(1), down=True,
-                         dtype=dtype)
-    merged1 = _conv(p["ev_1"]["merge"], out1, 1, 0, dtype)
+                         dtype=dtype, q=q)
+    merged1 = _conv_q(p["ev_1"]["merge"], out1, 1, 0, dtype, q)
 
     # stage-1 encoder
     x1 = _conv_f(p["conv_01"], xf, dtype)
     x1, enc0_f = _hin_block_folded(p["down_0"], x1, relu_slope, hin(0),
-                                   filt=merged0, down=True, dtype=dtype)
+                                   filt=merged0, down=True, dtype=dtype,
+                                   q=q)
     x1, enc1 = _hin_block(p["down_1"], x1, relu_slope, hin(1),
-                          filt=merged1, down=True, dtype=dtype)
-    x1 = _hin_block(p["down_2"], x1, relu_slope, hin(2), dtype=dtype)
+                          filt=merged1, down=True, dtype=dtype, q=q)
+    x1 = _hin_block(p["down_2"], x1, relu_slope, hin(2), dtype=dtype, q=q)
 
     # decoder: scale-1 unfolded, full-res stage folded end-to-end
     up = _conv_transpose_up(p["up_0"], x1, dtype)
-    bridge = _conv(p["skip_0"], enc1, 1, 1, dtype)
+    bridge = _conv_q(p["skip_0"], enc1, 1, 1, dtype, q)
     x1 = _hin_block(p["upblk_0"], jnp.concatenate([up, bridge], axis=-1),
-                    relu_slope, use_hin=False, dtype=dtype)
+                    relu_slope, use_hin=False, dtype=dtype, q=q)
 
     upk, upb = p["up_1"]["kernel"], p["up_1"]["bias"]
     up_f = conv_transpose_up_folded(
         x1, upk if dtype is None else upk.astype(dtype),
         upb if dtype is None else upb.astype(dtype),
         dtype=dtype, r_in=1, r_out=2)                   # fold-2, 64ch
-    bridge_f = _conv_f(p["skip_1"], enc0_f, dtype)
+    bridge_f = _conv_f(p["skip_1"], enc0_f, dtype, q)
     x1f = _hin_block_folded(p["upblk_1"],
                             fold_concat([up_f, bridge_f], 2),
-                            relu_slope, use_hin=False, dtype=dtype)
+                            relu_slope, use_hin=False, dtype=dtype, q=q)
 
     # SAM head: the single-stage forward returns only img = conv2(x)+x_img
     # (reference :163) — conv1/conv3/gate are serving-time dead code.

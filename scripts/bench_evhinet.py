@@ -23,7 +23,10 @@ def main():
     from refid_tpu.serve.evhinet_fast import evhinet_fast_forward
 
     dt = None if "--f32" in sys.argv else jnp.bfloat16
-    fast = "--fast" in sys.argv  # width-folded serving forward
+    fast = "--fast" in sys.argv   # width-folded serving forward
+    int8 = True if "--int8" in sys.argv else (
+        "static" if "--int8st" in sys.argv else False)
+    fast = fast or bool(int8)
     model = EVHINet(dtype=dt)
     rng = np.random.RandomState(0)
     h, w = 720, 1280
@@ -32,9 +35,24 @@ def main():
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 6)))
 
+    qscales = None
+    if int8 == "static":
+        @jax.jit
+        def _calib(p, x, ev):
+            q = {}
+            out = evhinet_fast_forward(p, x, ev, dtype=dt, int8="calib",
+                                       qstate=q)
+            return out, jnp.stack(q["amax"])
+
+        _, amax = _calib(params, x, ev)
+        qscales = tuple(float(a) * 1.1 for a in np.asarray(amax))
+        print(f"calibrated {len(qscales)} sites", flush=True)
+
     def fwd(p, x, ev):
         if fast:
-            return evhinet_fast_forward(p, x, ev, dtype=dt)
+            qs = None if qscales is None else {"amax": list(qscales)}
+            return evhinet_fast_forward(p, x, ev, dtype=dt, int8=int8,
+                                        qstate=qs)
         return model.apply(p, x, ev)
 
     @partial(jax.jit, static_argnums=(3,))
@@ -57,6 +75,8 @@ def main():
     t0 = time.perf_counter(); float(loop(params, x, ev, 17))
     dtm = (time.perf_counter() - t0 - d1) / 16
     tag = ("f32" if dt is None else "bf16") + (" folded" if fast else "")
+    if int8:
+        tag += " int8" + ("st" if int8 == "static" else "")
     print(f"EVHINet {tag} 720p: {dtm*1e3:.1f} ms/frame "
           f"({1/dtm:.1f} frames/s)", flush=True)
 

@@ -74,3 +74,30 @@ def test_task_predict_uses_folded_path_exactly():
          "val": {"folded_predict": False}})
     # (== not `is`: .apply is a fresh bound method on each access)
     assert task_off._make_predict_fn(task_off.opt) == task_off.net.apply
+
+
+def test_evhinet_int8_modes_db_vs_f32():
+    """int8 EVHINet serving (dynamic and calibrated-static): calib pass is
+    exact, both quantized modes stay >= 28 dB vs the f32 forward, and
+    static consumes exactly the sites calib recorded."""
+    model, params, x, ev = _setup(5, 48, 64, 16)
+    want = np.asarray(model.apply(params, x, ev))
+    span = want.max() - want.min()
+
+    def db(got):
+        return 20 * np.log10(span / np.sqrt(((got - want) ** 2).mean()))
+
+    dyn = np.asarray(evhinet_fast_forward(params, x, ev, wf=16, int8=True))
+    assert db(dyn) >= 28.0, f"dynamic int8: {db(dyn):.1f} dB"
+
+    q = {}
+    calib = np.asarray(evhinet_fast_forward(params, x, ev, wf=16,
+                                            int8="calib", qstate=q))
+    np.testing.assert_allclose(calib, want, atol=1e-5, rtol=1e-5)
+    scales = [float(a) for a in q["amax"]]
+    assert len(scales) > 10
+
+    st = np.asarray(evhinet_fast_forward(params, x, ev, wf=16,
+                                         int8="static",
+                                         qstate={"amax": scales}))
+    assert db(st) >= 28.0, f"static int8: {db(st):.1f} dB"
