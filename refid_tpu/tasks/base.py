@@ -187,30 +187,49 @@ class RestorationTaskBase:
             yield out
 
     def _make_predict_fn(self, opt: dict):
-        """Inference forward.  For EVHINet at its shipped geometry this is
-        the width-folded serving forward (serve/evhinet_fast.py — exact
-        math, tests/test_evhinet_fast.py); ``val.folded_predict: false``
-        opts out.  Shape applicability (two exact halvings + fold-2) is
+        """Inference forward.  For the production architectures this is
+        the width-folded serving forward — serve/fast_forward.py for the
+        flagship (exact math, tests/test_fast_forward.py),
+        serve/evhinet_fast.py for EVHINet (tests/test_evhinet_fast.py) —
+        so the test/validate CLIs serve at packed-pipeline speed.
+        ``val.folded_predict: false`` opts out.  Shape applicability is
         decided per trace, falling back to ``net.apply``."""
         from refid_tpu.models.evhinet import EVHINet
+        from refid_tpu.models.refid import FinalBidirectionAttenfusion
+        from refid_tpu.pipeline import _fast_serving_applicable
         net = self.net
-        if (not isinstance(net, EVHINet) or net.depth != 3
-                or net.fac_place != 2
-                or opt.get("val", {}).get("folded_predict", True) is False):
+        if opt.get("val", {}).get("folded_predict", True) is False:
             return net.apply
 
-        def _pred(params, lq, voxel):
-            h, w = lq.shape[1:3]
-            if h % 4 == 0 and w % 4 == 0:
-                from refid_tpu.serve.evhinet_fast import evhinet_fast_forward
-                return evhinet_fast_forward(
-                    params, lq, voxel, wf=net.wf, depth=net.depth,
-                    fac_place=net.fac_place, hin_left=net.hin_left,
-                    hin_right=net.hin_right, relu_slope=net.relu_slope,
-                    dtype=net.dtype)
-            return net.apply(params, lq, voxel)
+        if isinstance(net, EVHINet) and net.depth == 3 \
+                and net.fac_place == 2:
+            def _pred(params, lq, voxel):
+                h, w = lq.shape[1:3]
+                if h % 4 == 0 and w % 4 == 0:
+                    from refid_tpu.serve.evhinet_fast import \
+                        evhinet_fast_forward
+                    return evhinet_fast_forward(
+                        params, lq, voxel, wf=net.wf, depth=net.depth,
+                        fac_place=net.fac_place, hin_left=net.hin_left,
+                        hin_right=net.hin_right, relu_slope=net.relu_slope,
+                        dtype=net.dtype)
+                return net.apply(params, lq, voxel)
 
-        return _pred
+            return _pred
+
+        cfg = getattr(net, "cfg", None)
+        if (type(net) is FinalBidirectionAttenfusion and cfg is not None
+                and _fast_serving_applicable(cfg)):
+            def _pred(params, lq, voxel):
+                h, w = lq.shape[1:3]
+                if voxel.ndim == 5 and h % 8 == 0 and w % 8 == 0:
+                    from refid_tpu.serve import fast_forward
+                    return fast_forward(params, cfg, lq, voxel, packed=True)
+                return net.apply(params, lq, voxel)
+
+            return _pred
+
+        return net.apply
 
     def predict(self, lq: np.ndarray, voxel: np.ndarray,
                 use_ema: bool = False) -> np.ndarray:

@@ -61,3 +61,34 @@ def test_fast_forward_prepacked_events():
         b, t, h // 2, w // 2, 4 * c)
     got = np.asarray(fast_forward(params, cfg, x, evp, packed=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_task_predict_uses_packed_path_exactly():
+    """The recurrent task's predict (tasks/base._make_predict_fn) routes
+    production-config flagship nets through the packed serving forward;
+    output == net.apply."""
+    from refid_tpu.core.registry import MODELS
+    import refid_tpu.tasks  # noqa: F401
+
+    netg = {"type": "FinalBidirectionAttenfusion", "img_chn": 8,
+            "ev_chn": 2, "num_encoders": 2, "base_num_channels": 8,
+            "num_block": 1, "num_residual_blocks": 1}
+    task = MODELS.get("TwoImageEventRecurrentRestorationModel")(
+        {"is_train": False, "network_g": dict(netg), "val": {}})
+    rng = np.random.RandomState(6)
+    lq = rng.rand(1, 24, 32, 8).astype(np.float32)
+    vox = rng.rand(1, 4, 24, 32, 2).astype(np.float32)
+    task.params = task.net.init(jax.random.PRNGKey(6), jnp.asarray(lq),
+                                jnp.asarray(vox))
+    want = np.asarray(task.net.apply(task.params, jnp.asarray(lq),
+                                     jnp.asarray(vox)))
+    got = np.asarray(task.predict(lq, vox))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # non-divisible shapes fall back to net.apply inside the same jit
+    lq2 = rng.rand(1, 20, 28, 8).astype(np.float32)
+    vox2 = rng.rand(1, 4, 20, 28, 2).astype(np.float32)
+    got2 = np.asarray(task.predict(lq2, vox2))
+    want2 = np.asarray(task.net.apply(task.params, jnp.asarray(lq2),
+                                      jnp.asarray(vox2)))
+    np.testing.assert_allclose(got2, want2, atol=1e-5, rtol=1e-5)
