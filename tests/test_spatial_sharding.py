@@ -66,3 +66,34 @@ def test_spatially_sharded_gradients_match():
     for a, b_ in zip(jax.tree_util.tree_leaves(g_ref),
                      jax.tree_util.tree_leaves(g_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_spatially_sharded_packed_serving_matches():
+    """The PACKED serving forward (serve/fast_forward.py) under a spatial
+    mesh == unsharded: GSPMD shards the width-folded/s2d graph too, so
+    multi-chip serving (latency scaling over ICI) uses the same fast path
+    single-chip serving does."""
+    from refid_tpu.serve import fast_forward
+
+    cfg = RefidConfig(img_chn=6, ev_chn=2, num_encoders=2,
+                      base_num_channels=4, num_residual_blocks=1)
+    model = FinalBidirectionAttenfusion(cfg)
+    rng = np.random.RandomState(2)
+    b, t, h, w = 2, 3, 32, 32
+    x = rng.randn(b, h, w, cfg.img_chn).astype(np.float32)
+    ev = rng.randn(b, t, h, w, cfg.ev_chn).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(2), jnp.asarray(x),
+                        jnp.asarray(ev))
+
+    want = np.asarray(fast_forward(params, cfg, jnp.asarray(x),
+                                   jnp.asarray(ev), packed=True))
+
+    mesh = make_mesh(data=2, spatial=4)
+    with mesh:
+        batch = shard_batch({"x": x, "ev": ev}, mesh,
+                            spatial_axes={4: 1, 5: 2})
+        got = np.asarray(jax.jit(
+            lambda p, xx, ee: fast_forward(p, cfg, xx, ee, packed=True))(
+                params, batch["x"], batch["ev"]))
+    np.testing.assert_allclose(got, want, atol=2e-5)
