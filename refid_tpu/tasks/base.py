@@ -69,18 +69,34 @@ class RestorationTaskBase:
             # matches the production architecture (same gate as the
             # serving fast path); train.folded_apply: false opts out,
             # true asserts applicability.
+            from refid_tpu.models.evhinet import EVHINet
             from refid_tpu.pipeline import _fast_serving_applicable
             cfg = getattr(self.net, "cfg", None)
             applicable = cfg is not None and _fast_serving_applicable(cfg)
+            is_evhinet = (isinstance(self.net, EVHINet)
+                          and self.net.depth == 3
+                          and self.net.fac_place == 2)
             folded = t.get("folded_apply")
             if folded is None:
+                # EVHINet's folded training forward is exact and tested
+                # but its step time is unmeasured -> opt-in only
                 folded = applicable
-            elif folded and not applicable:
+            elif folded and not (applicable or is_evhinet):
                 raise ValueError(
                     "train.folded_apply requires the production "
-                    "FinalBidirectionAttenfusion configuration "
+                    "FinalBidirectionAttenfusion or EVHINet configuration "
                     "(see pipeline._fast_serving_applicable)")
-            if folded:
+            if folded and is_evhinet:
+                from refid_tpu.serve.evhinet_fast import evhinet_fast_forward
+                net = self.net
+
+                def apply_fn(params, lq, voxel):
+                    return evhinet_fast_forward(
+                        params, lq, voxel, wf=net.wf, depth=net.depth,
+                        fac_place=net.fac_place, hin_left=net.hin_left,
+                        hin_right=net.hin_right,
+                        relu_slope=net.relu_slope, dtype=net.dtype)
+            elif folded:
                 from refid_tpu.serve.fast_scan import make_fast_apply
                 apply_fn = make_fast_apply(cfg, remat=t.get(
                     "folded_apply_remat", True))

@@ -101,3 +101,68 @@ def test_evhinet_int8_modes_db_vs_f32():
                                          int8="static",
                                          qstate={"amax": scales}))
     assert db(st) >= 28.0, f"static int8: {db(st):.1f} dB"
+
+
+@pytest.mark.slow
+def test_evhinet_fast_gradients_match_model():
+    """Charbonnier-loss parameter gradients through the folded EVHINet
+    forward == through model.apply (so train.folded_apply: true is exact
+    for EVHINet training; opt-in until its step time is measured)."""
+    from refid_tpu.train.losses import charbonnier_loss
+
+    model, params, x, ev = _setup(8, 32, 32, 8)
+    gt = jnp.asarray(np.random.RandomState(9).rand(1, 32, 32, 3)
+                     .astype(np.float32))
+
+    g_ref = jax.grad(lambda p: charbonnier_loss(
+        model.apply(p, x, ev), gt))(params)
+    g_fast = jax.grad(lambda p: charbonnier_loss(
+        evhinet_fast_forward(p, x, ev, wf=8), gt))(params)
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fast = jax.tree_util.tree_leaves_with_path(g_fast)
+    assert len(flat_ref) == len(flat_fast)
+    for (path, a), (_, b) in zip(flat_ref, flat_fast):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_evhinet_folded_apply_option():
+    """tasks/base honors train.folded_apply for EVHINet (opt-in; rejects
+    non-foldable archs; default stays model.apply)."""
+    import pytest as _pytest
+    from refid_tpu.core.registry import MODELS
+    import refid_tpu.tasks  # noqa: F401
+
+    netg = {"type": "SingleMultiConnectEVHINet", "in_chn": 3, "ev_chn": 6,
+            "wf": 8, "depth": 3}
+    train = {"optim_g": {"type": "AdamW", "lr": 1e-3,
+                         "weight_decay": 0.0, "betas": [0.9, 0.99]},
+             "scheduler": {"type": "TrueCosineAnnealingLR", "T_max": 10,
+                           "eta_min": 1e-7},
+             "total_iter": 4,
+             "pixel_opt": {"type": "CharbonnierLoss", "loss_weight": 1.0,
+                           "reduction": "mean"}}
+    # opt-in accepted for EVHINet
+    task = MODELS.get("ImageEventRestorationModel")(
+        {"is_train": True, "network_g": dict(netg), "path": {},
+         "train": dict(train, folded_apply=True)})
+    batch = {"lq": np.random.RandomState(0).rand(8, 16, 16, 3)
+             .astype(np.float32),
+             "voxel": np.random.RandomState(1).rand(8, 16, 16, 6)
+             .astype(np.float32),
+             "gt": np.random.RandomState(2).rand(8, 16, 16, 3)
+             .astype(np.float32)}
+    task.init_params(batch)
+    task.setup_train_state()
+    l0 = float(task.train_step(batch)["loss"])
+    l1 = float(task.train_step(batch)["loss"])
+    assert np.isfinite(l0) and np.isfinite(l1)
+
+    # non-foldable arch still rejects folded_apply: true
+    with _pytest.raises(ValueError, match="folded_apply"):
+        MODELS.get("ImageEventRestorationModel")(
+            {"is_train": True,
+             "network_g": dict(netg, depth=4),
+             "path": {}, "train": dict(train, folded_apply=True)})
