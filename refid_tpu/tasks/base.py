@@ -236,9 +236,30 @@ class RestorationTaskBase:
         cfg = getattr(net, "cfg", None)
         if (type(net) is FinalBidirectionAttenfusion and cfg is not None
                 and _fast_serving_applicable(cfg)):
+            # pack the (b,t,h,w,2) pair stack to the s2d serving format
+            # HOST-side (pure reshape/transpose, exact) so the device
+            # never reads the 64x-lane-padded raw stack — worth 1.6x at
+            # 720p untiled (PERFORMANCE.md round-3 table)
+            def _pack(lq, voxel):
+                h, w = lq.shape[1:3]
+                if voxel.ndim == 5 and voxel.shape[-1] == cfg.ev_chn \
+                        and h % 8 == 0 and w % 8 == 0:
+                    b, t, vh, vw, c = voxel.shape
+                    voxel = np.ascontiguousarray(
+                        np.asarray(voxel)
+                        .reshape(b, t, vh // 2, 2, vw // 2, 2, c)
+                        .transpose(0, 1, 2, 4, 3, 5, 6)
+                        .reshape(b, t, vh // 2, vw // 2, 4 * c))
+                return voxel
+
+            self._predict_pack = _pack
+
             def _pred(params, lq, voxel):
                 h, w = lq.shape[1:3]
-                if voxel.ndim == 5 and h % 8 == 0 and w % 8 == 0:
+                packed_in = (voxel.ndim == 5
+                             and voxel.shape[-1] == 4 * cfg.ev_chn)
+                if packed_in or (voxel.ndim == 5 and h % 8 == 0
+                                 and w % 8 == 0):
                     from refid_tpu.serve import fast_forward
                     return fast_forward(params, cfg, lq, voxel, packed=True)
                 return net.apply(params, lq, voxel)
@@ -254,6 +275,9 @@ class RestorationTaskBase:
             params = self.state.ema_params
         elif self.state is not None:
             params = self.state.params
+        pack = getattr(self, "_predict_pack", None)
+        if pack is not None:
+            voxel = pack(lq, voxel)
         return self._predict_jit(params, jnp.asarray(lq), jnp.asarray(voxel))
 
     def current_lr(self) -> float:
