@@ -51,10 +51,16 @@ class BlurVFIPipeline:
 
     def __init__(self, params, cfg: RefidConfig, m: int = 11, n: int = 1,
                  norm_voxel: bool = False, fast: Optional[bool] = None,
-                 voxelizer: str = "scatter", int8: bool = False):
+                 voxelizer: str = "scatter", int8: bool = False,
+                 mesh=None):
         self.params = params
         self.cfg = cfg
         self.m, self.n = m, n
+        self.mesh = mesh  # optional jax.sharding.Mesh with a 'spatial'
+        # axis: shards the frames (image height) across chips so ONE
+        # stream's latency scales over ICI (GSPMD inserts the conv halo
+        # exchanges — tests/test_spatial_sharding.py pins packed-serving
+        # parity).  Build with parallel.make_mesh(data=1, spatial=N).
         self.num_bins = self._derive_num_bins(m, n)
         assert voxelizer in ("scatter", "pallas")
         self.voxelizer = voxelizer  # 'pallas': fully on-device sort +
@@ -201,6 +207,18 @@ class BlurVFIPipeline:
                                   for a in np.asarray(amax))
         return out
 
+    def _put(self, arr, spatial_dim: Optional[int] = None):
+        """Replicate (or shard ``spatial_dim`` over the mesh's 'spatial'
+        axis) when a mesh is configured; no-op otherwise."""
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = [None] * arr.ndim
+        if spatial_dim is not None:
+            spec[spatial_dim] = "spatial"
+        return jax.device_put(arr, NamedSharding(self.mesh,
+                                                 PartitionSpec(*spec)))
+
     def __call__(self, blur0: np.ndarray, blur1: np.ndarray,
                  events: np.ndarray,
                  capacity: Optional[int] = None) -> jnp.ndarray:
@@ -208,8 +226,10 @@ class BlurVFIPipeline:
         Returns (2m+n, h, w, 3) device array of sharp frames."""
         h, w = blur0.shape[:2]
         ev, n_ev = self._pad_events(events, capacity)
-        return self._run(self.params, jnp.asarray(blur0, jnp.float32),
-                         jnp.asarray(blur1, jnp.float32), ev, n_ev,
+        return self._run(self.params,
+                         self._put(jnp.asarray(blur0, jnp.float32), 0),
+                         self._put(jnp.asarray(blur1, jnp.float32), 0),
+                         self._put(ev), n_ev,
                          height=h, width=w, qscales=self._int8_scales)
 
 

@@ -97,3 +97,34 @@ def test_spatially_sharded_packed_serving_matches():
             lambda p, xx, ee: fast_forward(p, cfg, xx, ee, packed=True))(
                 params, batch["x"], batch["ev"]))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_pipeline_mesh_serving_matches_single_device():
+    """BlurVFIPipeline(mesh=...): one stream spatially sharded across the
+    mesh == the unsharded pipeline (multi-chip serving latency scaling)."""
+    from refid_tpu.pipeline import BlurVFIPipeline
+
+    cfg = RefidConfig(img_chn=8, ev_chn=2, num_encoders=2,
+                      base_num_channels=8, num_residual_blocks=1)
+    model = FinalBidirectionAttenfusion(cfg)
+    h, w, m, n = 64, 64, 2, 1
+    rng = np.random.RandomState(3)
+    params = model.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, h, w, cfg.img_chn)),
+                        jnp.zeros((1, 3, h, w, cfg.ev_chn)))
+    blur0 = rng.rand(h, w, 3).astype(np.float32)
+    blur1 = rng.rand(h, w, 3).astype(np.float32)
+    ne = 2000
+    events = np.stack([np.sort(rng.rand(ne)),
+                       rng.randint(0, w, ne).astype(np.float32),
+                       rng.randint(0, h, ne).astype(np.float32),
+                       rng.randint(0, 2, ne).astype(np.float32)],
+                      axis=1).astype(np.float32)
+
+    want = np.asarray(BlurVFIPipeline(params, cfg, m=m, n=n)(
+        blur0, blur1, events))
+    mesh = make_mesh(data=2, spatial=4)
+    got = np.asarray(BlurVFIPipeline(params, cfg, m=m, n=n, mesh=mesh)(
+        blur0, blur1, events))
+    np.testing.assert_allclose(got, want, atol=2e-5)
