@@ -190,6 +190,9 @@ class BlurVFIPipeline:
         if crop is not None:
             ch, cw = crop
             h, w = blur0.shape[:2]
+            if not (0 < ch <= h and 0 < cw <= w):
+                raise ValueError(f"calibrate crop {crop} exceeds the "
+                                 f"frame ({h}, {w})")
             y0, x0 = (h - ch) // 2, (w - cw) // 2
             blur0 = blur0[y0:y0 + ch, x0:x0 + cw]
             blur1 = blur1[y0:y0 + ch, x0:x0 + cw]

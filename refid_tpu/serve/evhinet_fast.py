@@ -30,13 +30,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from refid_tpu.models.layers import leaky_relu as _lrelu
+from refid_tpu.serve.fast_forward import (_conv, _conv_transpose_up)
 from refid_tpu.serve.packing import (
     space_to_depth, depth_to_space, conv_s2d, down_conv_folded,
     fold_concat, conv_transpose_up_folded)
 
-__all__ = ["evhinet_fast_forward"]
+__all__ = ["evhinet_fast_forward", "evhinet_foldable"]
 
 _R = (1, 2)  # width-fold-2
+
+
+def evhinet_foldable(net) -> bool:
+    """True iff ``evhinet_fast_forward`` implements EXACTLY this EVHINet
+    geometry (the single shared gate for the task layer's predict/train
+    routing and the assert inside the forward)."""
+    from refid_tpu.models.evhinet import EVHINet
+    return (isinstance(net, EVHINet) and net.depth == 3
+            and net.fac_place == 2)
 
 
 def half_instance_norm_folded(xf, scale, bias, r=2, eps=1e-5):
@@ -74,26 +85,9 @@ def fac_bias_folded(featf, filtf, r=2):
     return jnp.concatenate(out, axis=-1)
 
 
-def _lrelu(x, slope):
-    return jnp.maximum(x, x * slope)
-
-
 def _cast(p, dtype):
     return p if dtype is None else jax.tree_util.tree_map(
         lambda a: a.astype(dtype), p)
-
-
-def _conv(p, x, stride=1, padding=0, dtype=None):
-    k = p["kernel"]
-    if dtype is not None:
-        x, k = x.astype(dtype), k.astype(dtype)
-    out = jax.lax.conv_general_dilated(
-        x, k, (stride, stride), [(padding, padding)] * 2,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    if "bias" in p:
-        b = p["bias"]
-        out = out + (b.astype(dtype) if dtype is not None else b)
-    return out
 
 
 def _conv_f(p, xf, dtype=None, q=None, slope=None):
@@ -147,7 +141,7 @@ def _conv_q(p, x, stride, padding, dtype, q, slope=None):
         from refid_tpu.serve.quant import conv_int8
         return conv_int8(p, x, stride, padding, slope=slope,
                          out_dtype=dtype, cache=q)
-    out = _conv(p, x, stride, padding, dtype)
+    out = _conv(p, x, stride, padding, dtype=dtype)
     return out if slope is None else _lrelu(out, slope)
 
 
@@ -165,11 +159,11 @@ def _hin_block(p, x, slope, use_hin, filt=None, down=False, dtype=None,
     if filt is not None:
         out = fac_bias(out, filt)
     if down:
-        return _conv(p["down"], out, 2, 1, dtype), out
+        return _conv(p["down"], out, 2, 1, dtype=dtype), out
     return out
 
 
-def evhinet_fast_forward(params, x, event, *, wf=64, depth=3, fac_place=2,
+def evhinet_fast_forward(params, x, event, *, depth=3, fac_place=2,
                          hin_left=0, hin_right=4, relu_slope=0.2,
                          dtype=None, int8=False, qstate=None):
     """Width-folded serving forward == EVHINet(...).apply(params, x, event)
@@ -247,15 +241,3 @@ def evhinet_fast_forward(params, x, event, *, wf=64, depth=3, fac_place=2,
     img_f = _conv_f(p["sam12"]["conv2"], x1f, dtype) + xf
     return depth_to_space(img_f, _R)
 
-
-def _conv_transpose_up(p, x, dtype=None):
-    k = p["kernel"]
-    if dtype is not None:
-        x, k = x.astype(dtype), k.astype(dtype)
-    out = jax.lax.conv_transpose(
-        x, k, (2, 2), "VALID", transpose_kernel=True,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    b = p.get("bias")
-    if b is not None:
-        out = out + (b.astype(dtype) if dtype is not None else b)
-    return out

@@ -69,13 +69,11 @@ class RestorationTaskBase:
             # matches the production architecture (same gate as the
             # serving fast path); train.folded_apply: false opts out,
             # true asserts applicability.
-            from refid_tpu.models.evhinet import EVHINet
             from refid_tpu.pipeline import _fast_serving_applicable
+            from refid_tpu.serve.evhinet_fast import evhinet_foldable
             cfg = getattr(self.net, "cfg", None)
             applicable = cfg is not None and _fast_serving_applicable(cfg)
-            is_evhinet = (isinstance(self.net, EVHINet)
-                          and self.net.depth == 3
-                          and self.net.fac_place == 2)
+            is_evhinet = evhinet_foldable(self.net)
             folded = t.get("folded_apply")
             if folded is None:
                 # EVHINet's folded training forward is exact and tested
@@ -92,7 +90,7 @@ class RestorationTaskBase:
 
                 def apply_fn(params, lq, voxel):
                     return evhinet_fast_forward(
-                        params, lq, voxel, wf=net.wf, depth=net.depth,
+                        params, lq, voxel, depth=net.depth,
                         fac_place=net.fac_place, hin_left=net.hin_left,
                         hin_right=net.hin_right,
                         relu_slope=net.relu_slope, dtype=net.dtype)
@@ -210,22 +208,21 @@ class RestorationTaskBase:
         so the test/validate CLIs serve at packed-pipeline speed.
         ``val.folded_predict: false`` opts out.  Shape applicability is
         decided per trace, falling back to ``net.apply``."""
-        from refid_tpu.models.evhinet import EVHINet
         from refid_tpu.models.refid import FinalBidirectionAttenfusion
         from refid_tpu.pipeline import _fast_serving_applicable
+        from refid_tpu.serve.evhinet_fast import evhinet_foldable
         net = self.net
         if opt.get("val", {}).get("folded_predict", True) is False:
             return net.apply
 
-        if isinstance(net, EVHINet) and net.depth == 3 \
-                and net.fac_place == 2:
+        if evhinet_foldable(net):
             def _pred(params, lq, voxel):
                 h, w = lq.shape[1:3]
                 if h % 4 == 0 and w % 4 == 0:
                     from refid_tpu.serve.evhinet_fast import \
                         evhinet_fast_forward
                     return evhinet_fast_forward(
-                        params, lq, voxel, wf=net.wf, depth=net.depth,
+                        params, lq, voxel, depth=net.depth,
                         fac_place=net.fac_place, hin_left=net.hin_left,
                         hin_right=net.hin_right, relu_slope=net.relu_slope,
                         dtype=net.dtype)

@@ -23,7 +23,7 @@ def _setup(seed=0, h=48, w=64, wf=16, ev_chn=6):
 def test_evhinet_fast_matches_model(seed, h, w, wf):
     model, params, x, ev = _setup(seed, h, w, wf)
     want = np.asarray(model.apply(params, x, ev))
-    got = np.asarray(evhinet_fast_forward(params, x, ev, wf=wf))
+    got = np.asarray(evhinet_fast_forward(params, x, ev))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
@@ -33,11 +33,11 @@ def test_evhinet_fast_5d_events_and_bf16():
     rng = np.random.RandomState(3)
     ev5 = jnp.asarray(rng.rand(1, 3, 48, 64, 2).astype(np.float32))
     want = np.asarray(model.apply(params, x, ev5))
-    got = np.asarray(evhinet_fast_forward(params, x, ev5, wf=16))
+    got = np.asarray(evhinet_fast_forward(params, x, ev5))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
     got_bf16 = np.asarray(
-        evhinet_fast_forward(params, x, ev5, wf=16, dtype=jnp.bfloat16))
+        evhinet_fast_forward(params, x, ev5, dtype=jnp.bfloat16))
     span = want.max() - want.min()
     db = 20 * np.log10(span / np.sqrt(((got_bf16 - want) ** 2).mean()))
     assert db >= 35.0, f"bf16 folded EVHINet only {db:.1f} dB vs f32"
@@ -87,17 +87,17 @@ def test_evhinet_int8_modes_db_vs_f32():
     def db(got):
         return 20 * np.log10(span / np.sqrt(((got - want) ** 2).mean()))
 
-    dyn = np.asarray(evhinet_fast_forward(params, x, ev, wf=16, int8=True))
+    dyn = np.asarray(evhinet_fast_forward(params, x, ev, int8=True))
     assert db(dyn) >= 28.0, f"dynamic int8: {db(dyn):.1f} dB"
 
     q = {}
-    calib = np.asarray(evhinet_fast_forward(params, x, ev, wf=16,
+    calib = np.asarray(evhinet_fast_forward(params, x, ev,
                                             int8="calib", qstate=q))
     np.testing.assert_allclose(calib, want, atol=1e-5, rtol=1e-5)
     scales = [float(a) for a in q["amax"]]
     assert len(scales) > 10
 
-    st = np.asarray(evhinet_fast_forward(params, x, ev, wf=16,
+    st = np.asarray(evhinet_fast_forward(params, x, ev,
                                          int8="static",
                                          qstate={"amax": scales}))
     assert db(st) >= 28.0, f"static int8: {db(st):.1f} dB"
@@ -117,7 +117,7 @@ def test_evhinet_fast_gradients_match_model():
     g_ref = jax.grad(lambda p: charbonnier_loss(
         model.apply(p, x, ev), gt))(params)
     g_fast = jax.grad(lambda p: charbonnier_loss(
-        evhinet_fast_forward(p, x, ev, wf=8), gt))(params)
+        evhinet_fast_forward(p, x, ev), gt))(params)
 
     flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
     flat_fast = jax.tree_util.tree_leaves_with_path(g_fast)
