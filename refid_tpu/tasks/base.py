@@ -206,13 +206,19 @@ class RestorationTaskBase:
         flagship (exact math, tests/test_fast_forward.py),
         serve/evhinet_fast.py for EVHINet (tests/test_evhinet_fast.py) —
         so the test/validate CLIs serve at packed-pipeline speed.
-        ``val.folded_predict: false`` opts out.  Shape applicability is
-        decided per trace, falling back to ``net.apply``."""
+        ``val.folded_predict: false`` opts out.  ``val.int8`` (True /
+        "scale0" for the flagship, True for EVHINet — DYNAMIC activation
+        scales; not exact math) evaluates the quantized serving path at
+        task level, e.g. scripts/eval_released.py --int8 against released
+        checkpoints.  Shape applicability is decided per trace, falling
+        back to ``net.apply``."""
         from refid_tpu.models.refid import FinalBidirectionAttenfusion
         from refid_tpu.pipeline import _fast_serving_applicable
         from refid_tpu.serve.evhinet_fast import evhinet_foldable
         net = self.net
+        int8 = opt.get("val", {}).get("int8", False)
         if opt.get("val", {}).get("folded_predict", True) is False:
+            assert not int8, "val.int8 requires the folded predict path"
             return net.apply
 
         if evhinet_foldable(net):
@@ -225,7 +231,7 @@ class RestorationTaskBase:
                         params, lq, voxel, depth=net.depth,
                         fac_place=net.fac_place, hin_left=net.hin_left,
                         hin_right=net.hin_right, relu_slope=net.relu_slope,
-                        dtype=net.dtype)
+                        dtype=net.dtype, int8=bool(int8))
                 return net.apply(params, lq, voxel)
 
             return _pred
@@ -258,11 +264,13 @@ class RestorationTaskBase:
                 if packed_in or (voxel.ndim == 5 and h % 8 == 0
                                  and w % 8 == 0):
                     from refid_tpu.serve import fast_forward
-                    return fast_forward(params, cfg, lq, voxel, packed=True)
+                    return fast_forward(params, cfg, lq, voxel, packed=True,
+                                        int8=int8)
                 return net.apply(params, lq, voxel)
 
             return _pred
 
+        assert not int8, "val.int8 requires a foldable architecture"
         return net.apply
 
     def predict(self, lq: np.ndarray, voxel: np.ndarray,

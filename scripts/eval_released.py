@@ -34,6 +34,12 @@ def parse_args(argv=None):
     p.add_argument("--root", default=None, help="Results root (default cwd).")
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--save-img", action="store_true")
+    p.add_argument("--int8", nargs="?", const="true", default=None,
+                   choices=["true", "scale0"],
+                   help="Evaluate the int8 (dynamic-scale) serving path "
+                        "instead of exact bf16 — the one-command task-level "
+                        "quantization quality check against released "
+                        "checkpoints.")
     p.add_argument("--json-out", default=None,
                    help="Also dump results as JSON to this path.")
     return p.parse_args(argv)
@@ -52,6 +58,9 @@ def main(argv=None):
 
     opt = parse_options(args.config, is_train=False, root=args.root)
     opt["path"]["pretrain_network_g"] = args.pth
+    if args.int8:
+        opt.setdefault("val", {})["int8"] = (
+            True if args.int8 == "true" else args.int8)
     if args.dataroot:
         for dopt in opt["datasets"].values():
             for key in list(dopt):
@@ -73,6 +82,8 @@ def main(argv=None):
 
     # BASELINE.md-format rows
     cfg_label = os.path.splitext(os.path.basename(args.config))[0]
+    if args.int8:
+        cfg_label += f" (int8={args.int8})"
     print("| Metric | Value | Hardware | Source |")
     print("|---|---|---|---|")
     hw = jax.devices()[0].device_kind

@@ -72,6 +72,16 @@ def test_eval_released_smoke(tmp_path, capsys):
     assert "PSNR / SSIM" in out and "dB" in out
     assert os.path.exists(tmp_path / "res.json")
 
+    # --int8: the same command evaluates the quantized serving path; the
+    # dynamic-int8 PSNR must track the exact eval within quant noise
+    res8 = mod.main(["--pth", pth, "--config", cfg_path,
+                     "--root", str(tmp_path / "results_int8"),
+                     "--max-items", "1", "--int8"])
+    (_, m8), = res8.items()
+    assert np.isfinite(m8["total_psnr"])
+    assert abs(m8["total_psnr"] - metrics["total_psnr"]) < 1.0, (
+        m8["total_psnr"], metrics["total_psnr"])
+
 
 def test_eval_released_dataroot_override(tmp_path):
     """--dataroot must rewrite every dataroot* key in every dataset."""
