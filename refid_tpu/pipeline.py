@@ -210,6 +210,21 @@ class BlurVFIPipeline:
                                   for a in np.asarray(amax))
         return out
 
+    def save_calibration(self, path: str):
+        """Persist the recorded int8 activation scales as JSON."""
+        import json
+        if self._int8_scales is None:
+            raise ValueError("no calibration recorded: call calibrate()")
+        with open(path, "w") as f:
+            json.dump({"amax": list(self._int8_scales)}, f)
+
+    def load_calibration(self, path: str):
+        """Load scales saved by :meth:`save_calibration` (deployments
+        calibrate once offline, then serve ``int8='static'`` directly)."""
+        import json
+        with open(path) as f:
+            self._int8_scales = tuple(float(a) for a in json.load(f)["amax"])
+
     def _put(self, arr, spatial_dim: Optional[int] = None):
         """Replicate (or shard ``spatial_dim`` over the mesh's 'spatial'
         axis) when a mesh is configured; no-op otherwise."""

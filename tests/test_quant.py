@@ -226,3 +226,43 @@ def test_pipeline_static_int8_crop_calibration():
     # records the same number of sites
     pipe.calibrate(blur0, blur1, events)
     assert len(pipe._int8_scales) == n_sites_crop
+
+
+def test_pipeline_calibration_save_load(tmp_path):
+    """save_calibration/load_calibration round-trip: a fresh pipeline
+    loads offline-recorded scales and serves int8='static' identically."""
+    import jax
+    import jax.numpy as jnp
+    from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+    from refid_tpu.pipeline import BlurVFIPipeline
+
+    rng = np.random.RandomState(11)
+    h, w, m, n = 32, 32, 2, 1
+    cfg8 = RefidConfig(img_chn=8, num_encoders=2, base_num_channels=8,
+                       num_residual_blocks=1)
+    model8 = FinalBidirectionAttenfusion(cfg8)
+    params8 = model8.init(
+        jax.random.PRNGKey(11),
+        jnp.zeros((1, h, w, cfg8.img_chn)),
+        jnp.zeros((1, 3, h, w, cfg8.ev_chn)))
+    blur0 = rng.rand(h, w, 3).astype(np.float32)
+    blur1 = rng.rand(h, w, 3).astype(np.float32)
+    events = np.stack([np.sort(rng.rand(500)),
+                       rng.randint(0, w, 500).astype(np.float32),
+                       rng.randint(0, h, 500).astype(np.float32),
+                       rng.randint(0, 2, 500).astype(np.float32)],
+                      axis=1).astype(np.float32)
+
+    pipe = BlurVFIPipeline(params8, cfg8, m=m, n=n, int8="static")
+    pipe.calibrate(blur0, blur1, events)
+    want = np.asarray(pipe(blur0, blur1, events))
+    path = str(tmp_path / "calib.json")
+    pipe.save_calibration(path)
+
+    pipe2 = BlurVFIPipeline(params8, cfg8, m=m, n=n, int8="static")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="calibrat"):
+        pipe2(blur0, blur1, events)
+    pipe2.load_calibration(path)
+    got = np.asarray(pipe2(blur0, blur1, events))
+    np.testing.assert_array_equal(got, want)
