@@ -140,7 +140,10 @@ def main():
                   f"estimate (54.1 TFLOP/forward, see docstring); v5e bf16 "
                   f"exact-math forward ceiling = "
                   f"{V5E_BF16_CEILING_FPS:.0f} fps "
-                  f"({fps / V5E_BF16_CEILING_FPS:.0%} achieved)"),
+                  f"({fps / V5E_BF16_CEILING_FPS:.0%} achieved); headline "
+                  f"is EXACT bf16 math — int8 serving modes (dB-gated, "
+                  f"off pending released-checkpoint validation) measure "
+                  f"faster: scripts/bench_pipeline.py int8s0/int8st"),
     }))
 
 
