@@ -172,11 +172,17 @@ class BlurVFIPipeline:
                   events: np.ndarray,
                   capacity: Optional[int] = None,
                   crop: Optional[tuple] = None,
-                  headroom: float = 1.0) -> jnp.ndarray:
+                  headroom: float = 1.0,
+                  accumulate: bool = False) -> jnp.ndarray:
         """Record per-site activation amaxes for ``int8='static'`` serving
         (serve/quant.py).  Run once on representative inputs (same m/n —
         site order is matched by call order).  Returns the exact-math
         output of the calibration forward.
+
+        ``accumulate=True`` folds this call's amaxes into any previously
+        recorded scales by elementwise max — calibrate over SEVERAL
+        representative windows for scales that cover the serving
+        distribution instead of one sample's outliers.
 
         ``crop=(ch, cw)`` calibrates on the center crop instead of the
         full frame: per-tensor amaxes transfer across resolution (the
@@ -206,8 +212,15 @@ class BlurVFIPipeline:
         out, amax = self._calib_fn(
             self.params, jnp.asarray(blur0, jnp.float32),
             jnp.asarray(blur1, jnp.float32), ev, n_ev, height=h, width=w)
-        self._int8_scales = tuple(float(a) * headroom
-                                  for a in np.asarray(amax))
+        scales = tuple(float(a) * headroom for a in np.asarray(amax))
+        if accumulate and self._int8_scales is not None:
+            if len(scales) != len(self._int8_scales):
+                raise ValueError(
+                    f"calibration site-count mismatch on accumulate: "
+                    f"{len(scales)} vs {len(self._int8_scales)} recorded")
+            scales = tuple(max(a, b)
+                           for a, b in zip(scales, self._int8_scales))
+        self._int8_scales = scales
         return out
 
     def save_calibration(self, path: str):

@@ -31,12 +31,25 @@ from refid_tpu.serve.fast_forward import (_conv, _egaca_img_branch,
 __all__ = ["make_fast_apply", "fast_apply_scan"]
 
 
+def _conv_outputs_saveable(prim, *_, **__):
+    """jax.checkpoint policy: save every convolution result in the scan
+    body, recompute only the cheap elementwise/layout glue.  The folded
+    step's backward otherwise re-runs all ~25 convs of the body before
+    computing grads; at 256^2/t=23 the saved residuals are ~2 GB — well
+    inside HBM — and the recompute they remove is the dominant fwd cost."""
+    return prim.name == "conv_general_dilated"
+
+
 def fast_apply_scan(params, cfg, x, event, *, remat=True, unroll=1):
     """Production blur-VFI forward (aliased backward states) as two
     ``lax.scan``s over width-folded step bodies.  Same input/output
     contract as ``model.apply`` / ``fast_forward``:
     x (b, h, w, img_chn) or (b, 2, h, w, c); event (b, t, h, w, ev_chn)
     -> (b, t, h, w, out_chn).
+
+    ``remat``: False = save everything; True = full per-step remat;
+    "convs" = remat with a save-conv-outputs policy (backward skips the
+    conv recompute, elementwise glue is still rematerialized).
     """
     from refid_tpu.serve.packing import (space_to_depth, depth_to_space,
                                          conv_s2d, s2d_to_wfold,
@@ -126,8 +139,11 @@ def fast_apply_scan(params, cfg, x, event, *, remat=True, unroll=1):
                     None, dt, opt=True, egaca_img=egaca_img.get(("bwd", i)))
         return tuple(states), None
 
+    ckpt_kw = dict(prevent_cse=False)
+    if remat == "convs":
+        ckpt_kw["policy"] = _conv_outputs_saveable
     if remat:
-        bwd_body = jax.checkpoint(bwd_body, prevent_cse=False)
+        bwd_body = jax.checkpoint(bwd_body, **ckpt_kw)
     bwd_final, _ = jax.lax.scan(bwd_body, tuple(enc_zero), stage["bwd"],
                                 reverse=True, unroll=unroll)
 
@@ -186,7 +202,7 @@ def fast_apply_scan(params, cfg, x, event, *, remat=True, unroll=1):
         return (tuple(fwd_states), tuple(dec_states)), out
 
     if remat:
-        fwd_body = jax.checkpoint(fwd_body, prevent_cse=False)
+        fwd_body = jax.checkpoint(fwd_body, **ckpt_kw)
     _, outs = jax.lax.scan(fwd_body, (tuple(enc_zero), tuple(dec_zero)),
                            stage["fwd"], unroll=unroll)
     # outs (t, b, h, w/4, 4*oc) -> (b, t, h, w, oc)

@@ -64,6 +64,10 @@ def build_variants():
         "folded_f32_remat": dict(dtype=None, folded=True, folded_remat=True),
         "folded_bf16_remat_su4": dict(dtype=jnp.bfloat16, folded=True,
                                       folded_remat=True, folded_unroll=4),
+        # remat with a save-conv-outputs policy: backward skips the conv
+        # recompute (the dominant fwd cost), elementwise glue still remats
+        "folded_bf16_rematconv": dict(dtype=jnp.bfloat16, folded=True,
+                                      folded_remat="convs"),
     }
 
 

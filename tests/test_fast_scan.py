@@ -25,11 +25,39 @@ def _setup(seed=0, base=8, h=24, w=32, t=4):
 def test_fast_scan_matches_model():
     cfg, model, params, x, ev = _setup()
     want = np.asarray(model.apply(params, x, ev))
-    for remat, unroll in ((False, 1), (True, 1), (True, 2)):
+    for remat, unroll in ((False, 1), (True, 1), (True, 2), ("convs", 1)):
         got = np.asarray(fast_apply_scan(params, cfg, x, ev, remat=remat,
                                          unroll=unroll))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_fast_scan_rematconv_gradients_match_full_remat():
+    """remat='convs' (save-conv-outputs policy) must be a pure scheduling
+    change: parameter gradients bit-match full per-step remat."""
+    cfg, model, params, x, ev = _setup(seed=2, t=3, h=16, w=16)
+    rng = np.random.RandomState(9)
+    gt = jnp.asarray(
+        rng.randn(1, ev.shape[1], x.shape[1], x.shape[2], 3).astype(
+            np.float32))
+
+    def make_loss(remat):
+        def loss(p):
+            pred = fast_apply_scan(p, cfg, x, ev, remat=remat)
+            return jnp.mean(jnp.sqrt((pred - gt) ** 2 + 1e-12))
+        return loss
+
+    lt, g_full = jax.value_and_grad(make_loss(True))(params)
+    lc, g_conv = jax.value_and_grad(make_loss("convs"))(params)
+    np.testing.assert_allclose(float(lc), float(lt), rtol=1e-6)
+    g_conv_flat = dict(jax.tree_util.tree_leaves_with_path(g_conv))
+    for path, aw in jax.tree_util.tree_leaves_with_path(g_full):
+        af = g_conv_flat[path]
+        scale = max(float(np.abs(aw).max()), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(af) / scale, np.asarray(aw) / scale, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
 
 
 @pytest.mark.slow

@@ -266,3 +266,58 @@ def test_pipeline_calibration_save_load(tmp_path):
     pipe2.load_calibration(path)
     got = np.asarray(pipe2(blur0, blur1, events))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_pipeline_calibration_accumulate():
+    """calibrate(accumulate=True) folds multiple representative windows
+    into one scale set by elementwise max — the serving scales cover the
+    union of the calibration distribution, not one sample's outliers."""
+    import jax
+    import jax.numpy as jnp
+    from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+    from refid_tpu.pipeline import BlurVFIPipeline
+
+    rng = np.random.RandomState(13)
+    h, w, m, n = 32, 32, 2, 1
+    cfg8 = RefidConfig(img_chn=8, num_encoders=2, base_num_channels=8,
+                       num_residual_blocks=1)
+    model8 = FinalBidirectionAttenfusion(cfg8)
+    params8 = model8.init(
+        jax.random.PRNGKey(13),
+        jnp.zeros((1, h, w, cfg8.img_chn)),
+        jnp.zeros((1, 3, h, w, cfg8.ev_chn)))
+
+    def window(seed, gain=1.0):
+        r = np.random.RandomState(seed)
+        b0 = (gain * r.rand(h, w, 3)).astype(np.float32)
+        b1 = (gain * r.rand(h, w, 3)).astype(np.float32)
+        ev = np.stack([np.sort(r.rand(500)),
+                       r.randint(0, w, 500).astype(np.float32),
+                       r.randint(0, h, 500).astype(np.float32),
+                       r.randint(0, 2, 500).astype(np.float32)],
+                      axis=1).astype(np.float32)
+        return b0, b1, ev
+
+    pipe = BlurVFIPipeline(params8, cfg8, m=m, n=n, int8="static")
+    pipe.calibrate(*window(1))
+    s1 = pipe._int8_scales
+    pipe2 = BlurVFIPipeline(params8, cfg8, m=m, n=n, int8="static")
+    pipe2.calibrate(*window(2, gain=2.0))
+    s2 = pipe2._int8_scales
+
+    # accumulate over both windows == elementwise max of the two sets
+    pipe3 = BlurVFIPipeline(params8, cfg8, m=m, n=n, int8="static")
+    pipe3.calibrate(*window(1))
+    pipe3.calibrate(*window(2, gain=2.0), accumulate=True)
+    np.testing.assert_allclose(
+        pipe3._int8_scales, np.maximum(s1, s2), rtol=1e-6)
+
+    # without accumulate, a second calibrate() replaces the scales
+    pipe3.calibrate(*window(1))
+    np.testing.assert_allclose(pipe3._int8_scales, s1, rtol=1e-6)
+
+    # and serving still runs with the accumulated scales
+    pipe3.calibrate(*window(2, gain=2.0), accumulate=True)
+    out = np.asarray(pipe3(*window(3)))
+    assert np.isfinite(out).all()
