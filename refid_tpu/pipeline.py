@@ -72,6 +72,7 @@ class BlurVFIPipeline:
         # widest coverage with CALIBRATED activation scales; requires one
         # .calibrate(...) call on representative inputs before serving.
         self._int8_scales = None
+        self._int8_raw_amax = None
         self.norm_voxel = norm_voxel  # parity: recurrent recipe skips norm
         self.model = FinalBidirectionAttenfusion(cfg)
         # the packed/width-folded serving forward (serve/fast_forward.py,
@@ -212,15 +213,20 @@ class BlurVFIPipeline:
         out, amax = self._calib_fn(
             self.params, jnp.asarray(blur0, jnp.float32),
             jnp.asarray(blur1, jnp.float32), ev, n_ev, height=h, width=w)
-        scales = tuple(float(a) * headroom for a in np.asarray(amax))
-        if accumulate and self._int8_scales is not None:
-            if len(scales) != len(self._int8_scales):
+        # Accumulate RAW amaxes across windows and apply headroom once at
+        # store time: max(amax_i) * headroom, not max(amax_i * headroom_i)
+        # — a large headroom on one window must not mask a larger raw amax
+        # observed in another.
+        raw = tuple(float(a) for a in np.asarray(amax))
+        if accumulate and self._int8_raw_amax is not None:
+            if len(raw) != len(self._int8_raw_amax):
                 raise ValueError(
                     f"calibration site-count mismatch on accumulate: "
-                    f"{len(scales)} vs {len(self._int8_scales)} recorded")
-            scales = tuple(max(a, b)
-                           for a, b in zip(scales, self._int8_scales))
-        self._int8_scales = scales
+                    f"{len(raw)} vs {len(self._int8_raw_amax)} recorded")
+            raw = tuple(max(a, b)
+                        for a, b in zip(raw, self._int8_raw_amax))
+        self._int8_raw_amax = raw
+        self._int8_scales = tuple(a * headroom for a in raw)
         return out
 
     def save_calibration(self, path: str):
@@ -237,6 +243,10 @@ class BlurVFIPipeline:
         import json
         with open(path) as f:
             self._int8_scales = tuple(float(a) for a in json.load(f)["amax"])
+            # Loaded scales already include the headroom applied at save
+            # time; treat them as the raw floor for any further
+            # accumulate-calibration (conservative: never shrinks).
+            self._int8_raw_amax = self._int8_scales
 
     def _put(self, arr, spatial_dim: Optional[int] = None):
         """Replicate (or shard ``spatial_dim`` over the mesh's 'spatial'

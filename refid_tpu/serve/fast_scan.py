@@ -57,6 +57,9 @@ def fast_apply_scan(params, cfg, x, event, *, remat=True, unroll=1):
     from refid_tpu.serve.fast_forward import _trunk_folded, _trunk, \
         _conv_transpose_up
 
+    if remat not in (True, False, "convs"):
+        raise ValueError(
+            f"remat must be True, False, or 'convs'; got {remat!r}")
     assert cfg.bidirectional and cfg.aliased_backward_states
     assert cfg.recurrent_cell == "simpleconv" and cfg.num_block == 1
     assert cfg.encoder_stage == "then_down"

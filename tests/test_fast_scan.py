@@ -35,7 +35,8 @@ def test_fast_scan_matches_model():
 @pytest.mark.slow
 def test_fast_scan_rematconv_gradients_match_full_remat():
     """remat='convs' (save-conv-outputs policy) must be a pure scheduling
-    change: parameter gradients bit-match full per-step remat."""
+    change: parameter gradients match full per-step remat within a tight
+    scaled tolerance (atol 1e-5 after normalizing by each leaf's max)."""
     cfg, model, params, x, ev = _setup(seed=2, t=3, h=16, w=16)
     rng = np.random.RandomState(9)
     gt = jnp.asarray(
