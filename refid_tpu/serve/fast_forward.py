@@ -34,10 +34,14 @@ def _conv(p, x, stride=1, padding=0, slope=None, dtype=None, groups=1):
     k = p["kernel"]
     if dtype is not None:
         x, k = x.astype(dtype), k.astype(dtype)
-    out = jax.lax.conv_general_dilated(
-        x, k, (stride, stride), [(padding, padding)] * 2,
-        feature_group_count=groups,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if stride == 1 and groups == 1:
+        from refid_tpu.serve.packing import _stride1_conv
+        out = _stride1_conv(x, k, [(padding, padding)] * 2)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x, k, (stride, stride), [(padding, padding)] * 2,
+            feature_group_count=groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if "bias" in p:
         b = p["bias"]
         out = out + (b.astype(dtype) if dtype is not None else b)
@@ -209,11 +213,12 @@ def _trunk_folded(p, x_f, s_f, r, dtype=None, kc=None, q=None):
     """ConvResidualBlocks over width-fold-r inputs (exact reparameterization
     — serve/packing.py).  ``q`` routes the three folded convs through int8
     (serve/quant.py conv_s2d_int8) — not exact math, dB-gated."""
-    from refid_tpu.serve.packing import conv_s2d, fold_concat
+    from refid_tpu.serve.packing import (conv_s2d, fold_concat,
+                                         plain_concat_perm)
     ci, b0 = p["conv_in"], p["block_0"]
-    cat = fold_concat([x_f, s_f], r)
     if q is not None:
         from refid_tpu.serve.quant import conv_s2d_int8
+        cat = fold_concat([x_f, s_f], r)
         h = conv_s2d_int8(cat, ci["kernel"], ci["bias"], (1, r),
                           out_dtype=dtype, slope=0.1, cache=q)
         h1 = conv_s2d_int8(h, b0["conv1"]["kernel"], b0["conv1"]["bias"],
@@ -221,7 +226,14 @@ def _trunk_folded(p, x_f, s_f, r, dtype=None, kc=None, q=None):
         return h + conv_s2d_int8(h1, b0["conv2"]["kernel"],
                                  b0["conv2"]["bias"], (1, r),
                                  out_dtype=dtype, cache=q)
-    h = conv_s2d(cat, ci["kernel"], ci["bias"], (1, r), dtype, cache=kc)
+    # plain channel concat + input-permuted folded kernel: exact, and
+    # removes fold_concat's strided phase interleave (a measured ~0.5 ms
+    # gather per trunk input at 256^2 — profile_train round 4)
+    c_ = x_f.shape[-1] // r
+    cat = jnp.concatenate([x_f, s_f], axis=-1)
+    perm = plain_concat_perm((1, r), (c_, c_))
+    h = conv_s2d(cat, ci["kernel"], ci["bias"], (1, r), dtype, cache=kc,
+                 in_perm=perm, perm_tag="plaincat")
     h = jnp.maximum(h, 0.1 * h)
     h1 = jax.nn.relu(conv_s2d(h, b0["conv1"]["kernel"],
                               b0["conv1"]["bias"], (1, r), dtype, cache=kc))

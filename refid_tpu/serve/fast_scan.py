@@ -40,7 +40,8 @@ def _conv_outputs_saveable(prim, *_, **__):
     return prim.name == "conv_general_dilated"
 
 
-def fast_apply_scan(params, cfg, x, event, *, remat=True, unroll=1):
+def fast_apply_scan(params, cfg, x, event, *, remat=True, unroll=1,
+                    cast_params_once=False, tap_wgrad=False):
     """Production blur-VFI forward (aliased backward states) as two
     ``lax.scan``s over width-folded step bodies.  Same input/output
     contract as ``model.apply`` / ``fast_forward``:
@@ -50,6 +51,15 @@ def fast_apply_scan(params, cfg, x, event, *, remat=True, unroll=1):
     ``remat``: False = save everything; True = full per-step remat;
     "convs" = remat with a save-conv-outputs policy (backward skips the
     conv recompute, elementwise glue is still rematerialized).
+
+    ``cast_params_once``: cast the param tree to ``cfg.dtype`` ONCE before
+    the scans instead of per-op inside the bodies.  Forward math is
+    IDENTICAL (the per-op casts become no-ops; folded-kernel construction
+    is a pure rearrangement, so bf16-before == bf16-after bit-exact), but
+    under ``grad`` the scans' kernel-grad cotangents then accumulate in
+    bf16 carries rather than f32 — the per-leaf sum over t contributions
+    rounds at bf16 precision (~0.4% relative worst-case).  Training-loop
+    equivalence is pinned by tests/test_fast_scan.py.
     """
     from refid_tpu.serve.packing import (space_to_depth, depth_to_space,
                                          conv_s2d, s2d_to_wfold,
@@ -60,6 +70,15 @@ def fast_apply_scan(params, cfg, x, event, *, remat=True, unroll=1):
     if remat not in (True, False, "convs"):
         raise ValueError(
             f"remat must be True, False, or 'convs'; got {remat!r}")
+    if tap_wgrad:
+        # trace the whole apply under the tap-wgrad scope: every stride-1
+        # conv gets the per-tap dot_general weight-gradient VJP
+        # (serve/tapgrad.py).  Forward math unchanged.
+        from refid_tpu.serve.packing import tap_wgrad_scope
+        with tap_wgrad_scope(True):
+            return fast_apply_scan(
+                params, cfg, x, event, remat=remat, unroll=unroll,
+                cast_params_once=cast_params_once, tap_wgrad=False)
     assert cfg.bidirectional and cfg.aliased_backward_states
     assert cfg.recurrent_cell == "simpleconv" and cfg.num_block == 1
     assert cfg.encoder_stage == "then_down"
@@ -70,6 +89,9 @@ def fast_apply_scan(params, cfg, x, event, *, remat=True, unroll=1):
     assert not cfg.bidir_decoder and not cfg.use_first_dcn
     p = params["params"] if "params" in params else params
     dt = cfg.dtype
+    if cast_params_once and dt is not None:
+        p = jax.tree_util.tree_map(
+            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, p)
     atten_at = tuple(cfg.atten_fuse_at)
     n_enc = cfg.num_encoders
 
@@ -216,10 +238,13 @@ def fast_apply_scan(params, cfg, x, event, *, remat=True, unroll=1):
             b, t, h, w, oc4 // 4)
 
 
-def make_fast_apply(cfg, remat=True, unroll=1):
+def make_fast_apply(cfg, remat=True, unroll=1, cast_params_once=False,
+                    tap_wgrad=False):
     """Drop-in ``apply_fn(params, lq, voxel) -> pred`` for
     train.trainer.make_train_step, running the folded scan forward."""
     def apply_fn(params, lq, voxel):
         return fast_apply_scan(params, cfg, lq, voxel, remat=remat,
-                               unroll=unroll)
+                               unroll=unroll,
+                               cast_params_once=cast_params_once,
+                               tap_wgrad=tap_wgrad)
     return apply_fn

@@ -20,13 +20,40 @@ Used by the packed serving mode in fast_forward.py.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 __all__ = ["space_to_depth", "depth_to_space", "s2d_conv_kernel",
-           "conv_s2d"]
+           "conv_s2d", "tap_wgrad_scope"]
+
+_TAP_WGRAD = [False]
+
+
+@contextmanager
+def tap_wgrad_scope(on=True):
+    """Within this (trace-time) scope, stride-1 convs issued by conv_s2d /
+    fast_forward._conv use the per-tap dot_general weight-gradient VJP
+    (serve/tapgrad.py) instead of XLA's wgrad convolution.  Forward math
+    is identical; only the backward formulation changes."""
+    prev = _TAP_WGRAD[0]
+    _TAP_WGRAD[0] = on
+    try:
+        yield
+    finally:
+        _TAP_WGRAD[0] = prev
+
+
+def _stride1_conv(xp, W, padding):
+    if _TAP_WGRAD[0]:
+        from refid_tpu.serve.tapgrad import conv_tapgrad
+        return conv_tapgrad(xp, W, tuple(map(tuple, padding)))
+    return jax.lax.conv_general_dilated(
+        xp, W, (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def _rr(r):
@@ -88,27 +115,55 @@ def s2d_conv_kernel(w, r=2):
     return W, padding
 
 
-def conv_s2d(xp, w, bias=None, r=2, dtype=None, cache=None):
+def plain_concat_perm(r, sizes):
+    """Input-channel permutation that lets a folded conv consume a PLAIN
+    ``jnp.concatenate(parts, -1)`` of width-folded tensors instead of the
+    phase-major interleave of :func:`fold_concat` (a strided gather that
+    costs ~0.5 ms per full-res trunk input at 256^2 — profile_train).
+
+    ``sizes`` are the parts' ORIGINAL (unfolded) channel counts.  Returns
+    ``perm`` (len r*sum(sizes)) such that ``W[:, :, perm, :]`` consumes
+    channels ordered (part, phase, c) — the plain-concat order — where the
+    un-permuted folded kernel expects (phase, part, c)."""
+    rh, rw = _rr(r)
+    nph = rh * rw
+    total = sum(sizes)
+    offs = np.cumsum([0] + list(sizes))[:-1]
+    perm = []
+    for p_, (c, o) in enumerate(zip(sizes, offs)):
+        for a in range(nph):
+            for j in range(c):
+                perm.append(a * total + o + j)
+    return np.asarray(perm, np.int32)
+
+
+def conv_s2d(xp, w, bias=None, r=2, dtype=None, cache=None, in_perm=None,
+             perm_tag=None):
     """Apply a stride-1 conv to an s2d_r-packed input, returning the packed
     output.  ``w`` is the ORIGINAL (kh, kw, ci, co) kernel.  ``cache``
     (a per-trace dict) memoizes the folded-kernel construction so the
-    t-unrolled serving loop builds each kernel once, not per frame."""
+    t-unrolled serving loop builds each kernel once, not per frame.
+    ``in_perm`` permutes the folded kernel's input channels (exact;
+    see :func:`plain_concat_perm`); pass ``perm_tag`` to key the cache."""
     if cache is not None:
         # the cached entry PINS ``w`` so its id cannot be recycled by the
         # garbage collector mid-trace (id-reuse would alias kernels)
-        key = (id(w), _rr(r))
+        key = (id(w), _rr(r), perm_tag)
         hit = cache.get(key)
         if hit is None or hit[0] is not w:
-            hit = (w,) + s2d_conv_kernel(w, r)
+            W_, padding_ = s2d_conv_kernel(w, r)
+            if in_perm is not None:
+                W_ = jnp.take(W_, in_perm, axis=2)
+            hit = (w, W_, padding_)
             cache[key] = hit
         _, W, padding = hit
     else:
         W, padding = s2d_conv_kernel(w, r)
+        if in_perm is not None:
+            W = jnp.take(W, in_perm, axis=2)
     if dtype is not None:
         xp, W = xp.astype(dtype), W.astype(dtype)
-    out = jax.lax.conv_general_dilated(
-        xp, W, (1, 1), padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = _stride1_conv(xp, W, padding)
     if bias is not None:
         rh, rw = _rr(r)
         b_packed = jnp.tile(bias, rh * rw)

@@ -68,6 +68,19 @@ def build_variants():
         # recompute (the dominant fwd cost), elementwise glue still remats
         "folded_bf16_rematconv": dict(dtype=jnp.bfloat16, folded=True,
                                       folded_remat="convs"),
+        # cast params to bf16 ONCE before the scans: kernel-grad cotangents
+        # accumulate in bf16 scan carries instead of f32 (round 4)
+        "folded_bf16_remat_pcast": dict(dtype=jnp.bfloat16, folded=True,
+                                        folded_remat=True,
+                                        folded_pcast=True),
+        "folded_bf16_pcast": dict(dtype=jnp.bfloat16, folded=True,
+                                  folded_remat=False, folded_pcast=True),
+        # per-tap dot_general weight gradients (serve/tapgrad.py)
+        "folded_bf16_remat_tapw": dict(dtype=jnp.bfloat16, folded=True,
+                                       folded_remat=True, folded_tapw=True),
+        "folded_bf16_remat_pcast_tapw": dict(
+            dtype=jnp.bfloat16, folded=True, folded_remat=True,
+            folded_pcast=True, folded_tapw=True),
     }
 
 
@@ -82,12 +95,16 @@ def bench_variant(name, cfg_kwargs, iters=8, b=1, t=23, hw=256):
     folded = cfg_kwargs.pop("folded", False)
     folded_remat = cfg_kwargs.pop("folded_remat", True)
     folded_unroll = cfg_kwargs.pop("folded_unroll", 1)
+    folded_pcast = cfg_kwargs.pop("folded_pcast", False)
+    folded_tapw = cfg_kwargs.pop("folded_tapw", False)
     cfg = RefidConfig(**cfg_kwargs)
     model = FinalBidirectionAttenfusion(cfg)
     if folded:
         from refid_tpu.serve.fast_scan import make_fast_apply
         apply_fn = make_fast_apply(cfg, remat=folded_remat,
-                                   unroll=folded_unroll)
+                                   unroll=folded_unroll,
+                                   cast_params_once=folded_pcast,
+                                   tap_wgrad=folded_tapw)
     else:
         apply_fn = model.apply
     rng = np.random.RandomState(0)

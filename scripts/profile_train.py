@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--folded", action="store_true",
                     help="profile the width-folded scan apply "
                          "(serve/fast_scan.py) instead of model.apply")
+    ap.add_argument("--tapw", action="store_true",
+                    help="per-tap dot_general weight gradients")
+    ap.add_argument("--pcast", action="store_true",
+                    help="cast params to bf16 once before the scans")
     ap.add_argument("--dir", default="/tmp/refid_profile_train")
     args = ap.parse_args()
 
@@ -60,7 +64,9 @@ def main():
 
     if args.folded:
         from refid_tpu.serve.fast_scan import make_fast_apply
-        apply_fn = make_fast_apply(cfg, remat=not args.no_remat)
+        apply_fn = make_fast_apply(cfg, remat=not args.no_remat,
+                                   cast_params_once=args.pcast,
+                                   tap_wgrad=args.tapw)
     else:
         apply_fn = model.apply
 
@@ -88,7 +94,8 @@ def main():
 
     tag = ("f32" if args.f32 else "bf16") + \
         ("" if args.no_remat else "+remat") + \
-        ("+folded" if args.folded else "")
+        ("+folded" if args.folded else "") + \
+        ("+tapw" if args.tapw else "") + ("+pcast" if args.pcast else "")
     print(f"== train step {tag} hw={hw} t={t}: "
           f"total device op time {total:.1f} ms ==")
     print("-- by category --")
