@@ -53,8 +53,14 @@ class EnlargedIndexSampler:
             idx = rng.permutation(self.total) % self.num_samples
         else:
             idx = np.arange(self.total) % self.num_samples
+        # interleaved subsampling, matching the reference
+        # (data_sampler.py:42 ``indices[rank:total_size:num_replicas]``):
+        # shard k takes every num_shards-th index.  With per-process
+        # loaders this makes the multi-process GLOBAL batch equal the
+        # single-process batch as a set, so losses match exactly
+        # (tests/test_multihost.py).
         per = self.total // self.num_shards
-        return idx[self.shard_index * per:(self.shard_index + 1) * per]
+        return idx[:per * self.num_shards][self.shard_index::self.num_shards]
 
 
 def collate(samples: list) -> dict:

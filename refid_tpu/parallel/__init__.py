@@ -1,5 +1,7 @@
 from refid_tpu.parallel.mesh import (
-    make_mesh, batch_sharding, replicate_sharding, shard_batch,
+    init_distributed, make_mesh, batch_sharding, replicate_sharding,
+    replicate, shard_batch,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicate_sharding", "shard_batch"]
+__all__ = ["init_distributed", "make_mesh", "batch_sharding",
+           "replicate_sharding", "replicate", "shard_batch"]

@@ -26,7 +26,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["init_distributed", "make_mesh", "batch_sharding",
-           "replicate_sharding", "shard_batch"]
+           "replicate_sharding", "replicate", "shard_batch"]
 
 
 def init_distributed(coordinator: Optional[str] = None,
@@ -67,6 +67,18 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate(tree, mesh: Mesh):
+    """Device-put a pytree fully replicated over the mesh; works on
+    multi-process meshes (every process must hold identical values, e.g.
+    params initialized from the same seed or loaded from the same file)."""
+    sh = replicate_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
+    return jax.device_put(tree, sh)
+
+
 def shard_batch(batch, mesh: Mesh, spatial_axes: Optional[dict] = None):
     """Device-put a pytree of host arrays with batch-dim sharding.
 
@@ -75,9 +87,15 @@ def shard_batch(batch, mesh: Mesh, spatial_axes: Optional[dict] = None):
     shard over the 'spatial' mesh axis.
     """
     spatial_axes = spatial_axes or {}
+    multiproc = jax.process_count() > 1
 
     def put(x):
         sh = batch_sharding(mesh, x.ndim, 0, spatial_axes.get(x.ndim))
+        if multiproc:
+            # each process holds only ITS slice of the global batch (the
+            # sampler shards indices by process); assemble the global
+            # jax.Array from per-process local data
+            return jax.make_array_from_process_local_data(sh, x)
         return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)

@@ -27,7 +27,8 @@ from refid_tpu.models import archs as _archs  # noqa: F401 (registers archs)
 from refid_tpu.train.losses import build_loss
 from refid_tpu.train.trainer import (TrainState, build_optimizer,
                                      create_train_state, make_train_step)
-from refid_tpu.parallel import make_mesh, shard_batch, replicate_sharding
+from refid_tpu.parallel import (make_mesh, shard_batch, replicate_sharding,
+                                replicate)
 
 __all__ = ["RestorationTaskBase", "build_task"]
 
@@ -131,7 +132,7 @@ class RestorationTaskBase:
         assert self.params is not None, "call init_params/load_pretrained first"
         state = create_train_state(self.params, self.tx,
                                    ema_decay=self.ema_decay)
-        self.state = jax.device_put(state, replicate_sharding(self.mesh))
+        self.state = replicate(state, self.mesh)
         return self.state
 
     # --- checkpointing / resume ---------------------------------------------
