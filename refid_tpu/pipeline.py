@@ -73,6 +73,8 @@ class BlurVFIPipeline:
         # .calibrate(...) call on representative inputs before serving.
         self._int8_scales = None
         self._int8_raw_amax = None
+        self._int8_rms = None
+        self._int8_exclude = None  # tuple of site indices served exact
         self.norm_voxel = norm_voxel  # parity: recurrent recipe skips norm
         self.model = FinalBidirectionAttenfusion(cfg)
         # the packed/width-folded serving forward (serve/fast_forward.py,
@@ -114,9 +116,9 @@ class BlurVFIPipeline:
             return space_to_depth(pairs_t, 2)[None]         # (1,t,h/2,w/2,8)
 
         @partial(jax.jit,
-                 static_argnames=("height", "width", "qscales"))
+                 static_argnames=("height", "width", "qscales", "qexclude"))
         def _run(params, frame0, frame1, events, n_events, height, width,
-                 qscales=None):
+                 qscales=None, qexclude=None):
             vox, lq, t = _prep(frame0, frame1, events, n_events, height,
                                width)
             if self.fast:
@@ -127,7 +129,8 @@ class BlurVFIPipeline:
                         raise ValueError(
                             "int8='static' serving requires calibration: "
                             "call pipe.calibrate(...) first")
-                    qstate = {"amax": list(qscales)}
+                    qstate = {"amax": list(qscales),
+                              "exclude": qexclude or ()}
                 return fast_forward(params, self.cfg, lq,
                                     _pack_pairs(vox, t), packed=True,
                                     int8=self.int8, qstate=qstate)[0]
@@ -143,7 +146,7 @@ class BlurVFIPipeline:
             q = {}
             out = fast_forward(params, self.cfg, lq, _pack_pairs(vox, t),
                                packed=True, int8="calib", qstate=q)
-            return out[0], jnp.stack(q["amax"])
+            return out[0], jnp.stack(q["amax"]), jnp.stack(q["rms"])
 
         self._run = _run
         self._calib_fn = _calib
@@ -174,7 +177,8 @@ class BlurVFIPipeline:
                   capacity: Optional[int] = None,
                   crop: Optional[tuple] = None,
                   headroom: float = 1.0,
-                  accumulate: bool = False) -> jnp.ndarray:
+                  accumulate: bool = False,
+                  exclude_crest: Optional[float] = None) -> jnp.ndarray:
         """Record per-site activation amaxes for ``int8='static'`` serving
         (serve/quant.py).  Run once on representative inputs (same m/n —
         site order is matched by call order).  Returns the exact-math
@@ -191,7 +195,13 @@ class BlurVFIPipeline:
         the full-res calibration graph (exact forward + a live amax edge
         per conv site) needs ~18 GB HBM at 720p/t=23, over a v5e chip's
         16 GB.  ``headroom`` scales the recorded amaxes up as a guard
-        against a crop underestimating full-frame outlier magnitudes."""
+        against a crop underestimating full-frame outlier magnitudes.
+
+        ``exclude_crest``: per-site bf16 fallback — sites whose calibrated
+        crest factor (amax / rms) exceeds this threshold serve in EXACT
+        math instead of int8 (a high crest factor means the per-tensor
+        int8 scale wastes most of the 8-bit range on outliers, so that
+        site's quantization error dominates).  None disables exclusion."""
         blur0, blur1 = np.asarray(blur0), np.asarray(blur1)
         events = np.asarray(events)
         if crop is not None:
@@ -210,7 +220,7 @@ class BlurVFIPipeline:
             events[:, 2] -= y0
         h, w = blur0.shape[:2]
         ev, n_ev = self._pad_events(events, capacity)
-        out, amax = self._calib_fn(
+        out, amax, rms = self._calib_fn(
             self.params, jnp.asarray(blur0, jnp.float32),
             jnp.asarray(blur1, jnp.float32), ev, n_ev, height=h, width=w)
         # Accumulate RAW amaxes across windows and apply headroom once at
@@ -218,6 +228,7 @@ class BlurVFIPipeline:
         # — a large headroom on one window must not mask a larger raw amax
         # observed in another.
         raw = tuple(float(a) for a in np.asarray(amax))
+        rms = tuple(float(a) for a in np.asarray(rms))
         if accumulate and self._int8_raw_amax is not None:
             if len(raw) != len(self._int8_raw_amax):
                 raise ValueError(
@@ -225,8 +236,14 @@ class BlurVFIPipeline:
                     f"{len(raw)} vs {len(self._int8_raw_amax)} recorded")
             raw = tuple(max(a, b)
                         for a, b in zip(raw, self._int8_raw_amax))
+            rms = tuple(max(a, b) for a, b in zip(rms, self._int8_rms))
         self._int8_raw_amax = raw
+        self._int8_rms = rms
         self._int8_scales = tuple(a * headroom for a in raw)
+        if exclude_crest is not None:
+            self._int8_exclude = tuple(
+                i for i, (a, r) in enumerate(zip(raw, rms))
+                if a > exclude_crest * max(r, 1e-12))
         return out
 
     def save_calibration(self, path: str):
@@ -235,18 +252,25 @@ class BlurVFIPipeline:
         if self._int8_scales is None:
             raise ValueError("no calibration recorded: call calibrate()")
         with open(path, "w") as f:
-            json.dump({"amax": list(self._int8_scales)}, f)
+            json.dump({"amax": list(self._int8_scales),
+                       "rms": list(self._int8_rms or ()),
+                       "exclude": list(self._int8_exclude or ())}, f)
 
     def load_calibration(self, path: str):
         """Load scales saved by :meth:`save_calibration` (deployments
         calibrate once offline, then serve ``int8='static'`` directly)."""
         import json
         with open(path) as f:
-            self._int8_scales = tuple(float(a) for a in json.load(f)["amax"])
+            d = json.load(f)
+            self._int8_scales = tuple(float(a) for a in d["amax"])
             # Loaded scales already include the headroom applied at save
             # time; treat them as the raw floor for any further
             # accumulate-calibration (conservative: never shrinks).
             self._int8_raw_amax = self._int8_scales
+            self._int8_rms = tuple(float(a) for a in d.get("rms", ())) \
+                or None
+            self._int8_exclude = tuple(
+                int(i) for i in d.get("exclude", ())) or None
 
     def _put(self, arr, spatial_dim: Optional[int] = None):
         """Replicate (or shard ``spatial_dim`` over the mesh's 'spatial'
@@ -271,7 +295,8 @@ class BlurVFIPipeline:
                          self._put(jnp.asarray(blur0, jnp.float32), 0),
                          self._put(jnp.asarray(blur1, jnp.float32), 0),
                          self._put(ev), n_ev,
-                         height=h, width=w, qscales=self._int8_scales)
+                         height=h, width=w, qscales=self._int8_scales,
+                         qexclude=self._int8_exclude)
 
 
 class SharpVFIPipeline(BlurVFIPipeline):

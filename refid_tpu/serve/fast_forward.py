@@ -331,7 +331,8 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             qcache = qstate
         else:
             qcache = {"mode": "static", "amax": list(qstate["amax"]),
-                      "idx": 0}
+                      "idx": 0,
+                      "exclude": frozenset(qstate.get("exclude", ()))}
         q0 = qdec = qcache
     elif int8:
         qcache = {}

@@ -15,10 +15,15 @@ Scheme: symmetric int8.
 The quant-state dict (``cache``) carries the mode:
   {"mode": "dynamic"} (or a plain {})  — dynamic scales;
   {"mode": "calib", "amax": []}        — EXACT bf16 math, appending each
-      site's f32 amax tracer to ``amax`` in call order;
+      site's f32 amax tracer to ``amax`` (and its rms to ``rms``) in call
+      order;
   {"mode": "static", "amax": [...], "idx": 0} — static scales consumed
       in the SAME call order (calibration and serving execute the same
-      trace path, so order is the site identity).
+      trace path, so order is the site identity).  An optional
+      ``exclude`` (set of site indices) serves those sites in EXACT
+      bf16/f32 math instead of int8 — the per-site fallback for
+      poorly-quantizing sites (high amax/rms crest factor means the
+      per-tensor scale wastes most of the 8-bit range).
 
 Accumulation in int32, rescale in the output dtype, bias + activation in
 the epilogue.  Exactness: NOT exact math — gate on measured dB vs the
@@ -39,11 +44,15 @@ def _act_scale(cache, x):
     (mode, scale) where scale is None for dynamic."""
     mode = "dynamic" if cache is None else cache.get("mode", "dynamic")
     if mode == "calib":
-        cache["amax"].append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        xf = x.astype(jnp.float32)
+        cache["amax"].append(jnp.max(jnp.abs(xf)))
+        cache.setdefault("rms", []).append(jnp.sqrt(jnp.mean(xf * xf)))
         return "calib", None
     if mode == "static":
         i = cache["idx"]
         cache["idx"] = i + 1
+        if i in cache.get("exclude", ()):
+            return "calib", None  # exact-math fallback for this site
         amax = cache["amax"][i]
         return "static", max(float(amax), 1e-12) / 127.0
     return "dynamic", None

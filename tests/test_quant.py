@@ -321,3 +321,110 @@ def test_pipeline_calibration_accumulate():
     pipe3.calibrate(*window(2, gain=2.0), accumulate=True)
     out = np.asarray(pipe3(*window(3)))
     assert np.isfinite(out).all()
+
+
+def _tiny_pipe_inputs(seed=17, h=32, w=32):
+    import jax
+    import jax.numpy as jnp
+    from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
+
+    rng = np.random.RandomState(seed)
+    cfg8 = RefidConfig(img_chn=8, num_encoders=2, base_num_channels=8,
+                       num_residual_blocks=1)
+    model8 = FinalBidirectionAttenfusion(cfg8)
+    params8 = model8.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, h, w, cfg8.img_chn)),
+        jnp.zeros((1, 3, h, w, cfg8.ev_chn)))
+    blur0 = rng.rand(h, w, 3).astype(np.float32)
+    blur1 = rng.rand(h, w, 3).astype(np.float32)
+    events = np.stack([np.sort(rng.rand(800)),
+                       rng.randint(0, w, 800).astype(np.float32),
+                       rng.randint(0, h, 800).astype(np.float32),
+                       rng.randint(0, 2, 800).astype(np.float32)],
+                      axis=1).astype(np.float32)
+    return cfg8, params8, blur0, blur1, events
+
+
+def test_static_int8_exclude_all_sites_is_exact():
+    """The per-site exclusion escape hatch, pushed to its limit: serving
+    int8='static' with EVERY site excluded reproduces the exact-math
+    pipeline output — proving the fallback path is the exact path, not a
+    third numeric regime."""
+    from refid_tpu.pipeline import BlurVFIPipeline
+
+    cfg8, params8, blur0, blur1, events = _tiny_pipe_inputs()
+    pipe = BlurVFIPipeline(params8, cfg8, m=2, n=1, int8="static")
+    pipe.calibrate(blur0, blur1, events)
+    n_sites = len(pipe._int8_scales)
+    pipe._int8_exclude = tuple(range(n_sites))
+    got = np.asarray(pipe(blur0, blur1, events))
+
+    exact_pipe = BlurVFIPipeline(params8, cfg8, m=2, n=1)
+    exact = np.asarray(exact_pipe(blur0, blur1, events))
+    np.testing.assert_allclose(got, exact, atol=2e-5, rtol=2e-5)
+
+
+def test_calibrate_exclude_crest_selects_and_improves():
+    """calibrate(exclude_crest=...): sites are selected by the calibrated
+    amax/rms crest factor, a lower threshold excludes a superset, and a
+    partially-excluded serve is at least as close to exact math as the
+    all-int8 serve."""
+    from refid_tpu.pipeline import BlurVFIPipeline
+
+    cfg8, params8, blur0, blur1, events = _tiny_pipe_inputs(seed=19)
+
+    pipe = BlurVFIPipeline(params8, cfg8, m=2, n=1, int8="static")
+    # threshold above any real crest factor -> no exclusions
+    pipe.calibrate(blur0, blur1, events, exclude_crest=1e9)
+    assert pipe._int8_exclude == ()
+    got_all_int8 = np.asarray(pipe(blur0, blur1, events))
+
+    # amax >= rms always, so threshold 1.0 excludes every non-degenerate
+    # site; and exclusion sets are monotone in the threshold
+    pipe.calibrate(blur0, blur1, events, exclude_crest=1.0)
+    assert len(pipe._int8_exclude) == len(pipe._int8_scales)
+    pipe.calibrate(blur0, blur1, events, exclude_crest=3.0)
+    mid = set(pipe._int8_exclude)
+    pipe.calibrate(blur0, blur1, events, exclude_crest=6.0)
+    high = set(pipe._int8_exclude)
+    assert high <= mid
+    assert 0 < len(mid) < len(pipe._int8_scales)
+
+    got_mid = np.asarray(pipe_serve(pipe, blur0, blur1, events, mid))
+    exact = np.asarray(BlurVFIPipeline(params8, cfg8, m=2, n=1)(
+        blur0, blur1, events))
+
+    def db(y):
+        span = exact.max() - exact.min()
+        return 20 * np.log10(span / np.sqrt(((y - exact) ** 2).mean()))
+
+    # excluding the worst-quantizing sites must not hurt quality
+    assert db(got_mid) >= db(got_all_int8) - 0.5, \
+        (db(got_mid), db(got_all_int8))
+
+
+def pipe_serve(pipe, blur0, blur1, events, exclude):
+    pipe._int8_exclude = tuple(sorted(exclude))
+    return pipe(blur0, blur1, events)
+
+
+def test_calibration_save_load_roundtrips_exclusion(tmp_path):
+    """save_calibration persists rms + exclusion; a fresh pipeline that
+    loads it serves with the identical exclusion set."""
+    from refid_tpu.pipeline import BlurVFIPipeline
+
+    cfg8, params8, blur0, blur1, events = _tiny_pipe_inputs(seed=23)
+    pipe = BlurVFIPipeline(params8, cfg8, m=2, n=1, int8="static")
+    pipe.calibrate(blur0, blur1, events, exclude_crest=3.0)
+    assert pipe._int8_exclude
+    want = np.asarray(pipe(blur0, blur1, events))
+    path = str(tmp_path / "calib.json")
+    pipe.save_calibration(path)
+
+    pipe2 = BlurVFIPipeline(params8, cfg8, m=2, n=1, int8="static")
+    pipe2.load_calibration(path)
+    assert pipe2._int8_exclude == pipe._int8_exclude
+    assert pipe2._int8_rms == pipe._int8_rms
+    got = np.asarray(pipe2(blur0, blur1, events))
+    np.testing.assert_array_equal(got, want)
