@@ -1,0 +1,152 @@
+"""MXU rate probe for the band-resident folded-conv engine (round 4).
+
+Question being measured: can a Pallas kernel stream the width-folded
+3x3 conv's 9 tap matmuls ((M,128)@(128,128), f32 accum) at a higher MXU
+rate than XLA's in-situ conv_general_dilated (86-94 TF/s at the
+(720,640,128) serving geometry — PERFORMANCE.md round-3 geometry bench)?
+The whole-step VMEM-resident band engine (VERDICT round-4 item 1) only
+wins if this streaming rate is materially higher; if it probes at
+~90-100 TF/s the engine is refuted by measurement.
+
+Variants:
+  * tap_roll   — correct dx handling: per-dx accumulation + f32 sublane
+                 roll (2 rolls/conv), edge rows dropped (band interior
+                 only; the real kernel would halo-DMA instead)
+  * tap_noroll — same 9 matmuls, no rolls (WRONG math; isolates roll cost)
+  * xla_conv   — jax.lax.conv_general_dilated on the same folded shape
+                 (the in-situ baseline, same harness)
+
+Timing: N iterations chained through the input inside one jitted
+fori_loop (anti-LICM: input perturbed by iteration-dependent epsilon),
+scalar fetch as the completion barrier, 1-iter run subtracted.
+"""
+
+import argparse
+import functools
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H, WP, C = 720, 648, 128  # folded serving geometry, width padded 640->648
+
+
+def band_conv(x, w, band=8, rolls=True, interpret=False):
+    """x (H, WP, C) bf16; w (3, 3, C, C) bf16 -> (H, WP, C) bf16.
+    Interior-only correctness (rows 1..band-2 of each band; edge rows are
+    zero) — this is a RATE probe, not the production kernel."""
+    H, WP, C = x.shape
+    m2 = (band - 2) * WP
+
+    def kernel(x_ref, w_ref, o_ref):
+        x2 = x_ref[:].reshape(band * WP, C)
+        acc = jnp.zeros((m2, C), jnp.float32)
+        for dx in range(3):
+            accd = jnp.zeros((m2, C), jnp.float32)
+            for dy in range(3):
+                xs = jax.lax.slice(x2, (dy * WP, 0), (dy * WP + m2, C))
+                accd = accd + jax.lax.dot_general(
+                    xs, w_ref[dy, dx], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            if rolls and dx != 1:
+                accd = pltpu.roll(accd, (1 - dx) % m2, axis=0)
+            acc = acc + accd
+        out = jnp.maximum(acc, 0.1 * acc).astype(jnp.bfloat16)
+        o_ref[:] = jnp.pad(out, ((WP, WP), (0, 0))).reshape(band, WP, C)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(H // band,),
+        in_specs=[
+            pl.BlockSpec((band, WP, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, C, C), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((band, WP, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, WP, C), jnp.bfloat16),
+        interpret=interpret,
+    )(x, w)
+
+
+def xla_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x[None], w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+
+
+def timed(fn, x, w, iters):
+    @jax.jit
+    def loop(x, w):
+        def body(i, x):
+            xp = x * (1.0 + 1e-12 * i)  # anti-LICM perturbation
+            return fn(xp, w).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, iters, body, x)[0, 0, 0]
+
+    float(loop(x, w))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(x, w))
+    t_n = time.perf_counter() - t0
+
+    @jax.jit
+    def one(x, w):
+        return fn(x * 1.0, w)[0, 0, 0]
+
+    float(one(x, w))
+    t0 = time.perf_counter()
+    float(one(x, w))
+    t_1 = time.perf_counter() - t0
+    return (t_n - t_1) / (iters - 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--band", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--variants", nargs="*",
+                    default=["tap_roll", "tap_noroll", "xla_conv"])
+    ap.add_argument("--interpret", action="store_true")
+    args = ap.parse_args()
+
+    rng = np.random.RandomState(0)
+    h, wp = (4 * args.band, 40) if args.interpret else (H, WP)
+    x = jnp.asarray(rng.randn(h, wp, C).astype(np.float32),
+                    jnp.bfloat16)
+    w = jnp.asarray(0.05 * rng.randn(3, 3, C, C).astype(np.float32),
+                    jnp.bfloat16)
+
+    if args.interpret:
+        # numerics sanity vs XLA conv on the interior rows of one band
+        got = np.asarray(band_conv(x, w, band=args.band, rolls=True,
+                                   interpret=True), np.float32)
+        y = xla_conv(x, w)
+        ref = np.asarray(jnp.maximum(y, 0.1 * y), np.float32)
+        b = args.band
+        rows = slice(b + 1, 2 * b - 1)  # interior of band 1
+        err = np.abs(got[rows, 1:-1] - ref[rows, 1:-1]).max()
+        print(f"interior max err vs XLA: {err:.2e}")
+        assert err < 0.15, "band_conv tap math does not match XLA conv"
+        return
+
+    for name in args.variants:
+        if name == "xla_conv":
+            fn = xla_conv
+            flop_rows = H * WP
+        else:
+            fn = functools.partial(band_conv, band=args.band,
+                                   rolls=(name == "tap_roll"))
+            flop_rows = (720 // args.band) * (args.band - 2) * WP
+        dt = timed(fn, x, w, args.iters)
+        tf = 9 * flop_rows * C * C * 2 / dt / 1e12
+        print(f"{name:12s} band={args.band:3d}: {dt*1e3:7.3f} ms  "
+              f"{tf:6.1f} TF/s")
+
+
+if __name__ == "__main__":
+    main()
