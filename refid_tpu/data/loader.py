@@ -141,9 +141,15 @@ def build_loader(dataset, dataset_opt: dict, is_train: bool,
             len(dataset), dataset_opt.get("dataset_enlarge_ratio", 1),
             shuffle=dataset_opt.get("use_shuffle", True), seed=seed)
         workers = dataset_opt.get("num_worker_per_gpu", 2)
-        return PrefetchLoader(dataset, batch, sampler, workers,
-                              prefetch_batches=dataset_opt.get(
-                                  "num_prefetch_queue", 2), drop_last=True)
+        cls = PrefetchLoader
+        if dataset_opt.get("prefetch_mode") == "process":
+            # GIL-free worker processes (mp_loader.py) — the torch
+            # DataLoader(num_workers=N) analog for Python-bound decodes
+            from refid_tpu.data.mp_loader import ProcessPrefetchLoader
+            cls = ProcessPrefetchLoader
+        return cls(dataset, batch, sampler, workers,
+                   prefetch_batches=dataset_opt.get(
+                       "num_prefetch_queue", 2), drop_last=True)
     sampler = EnlargedIndexSampler(len(dataset), 1, shuffle=False,
                                    num_shards=1, shard_index=0)
     return PrefetchLoader(dataset, 1, sampler, num_workers=1,

@@ -180,8 +180,16 @@ def convert_state_dict(state_dict: Dict, cfg: RefidConfig) -> Dict:
     return {"params": params}
 
 
-def load_pth_params(path: str, cfg: RefidConfig, param_key: str = "params"):
-    """Load a reference ``net_g_*.pth`` checkpoint file and convert."""
+def load_pth_params(path: str, cfg: RefidConfig, param_key: str = "params",
+                    net=None):
+    """Load a reference ``net_g_*.pth`` checkpoint file and convert.
+
+    Dispatches on the state-dict's key signature: the REFID recurrent
+    lineage (``head.conv2d.*``) routes through ``convert_state_dict``
+    (needs ``cfg``); SingleMultiConnectEVHINet (``conv_ev1.*``) through
+    ``convert_evhinet_state_dict`` (``depth``/``fac_place`` read off
+    ``net`` when given).  One loader covers every released checkpoint
+    (reference README.md:114-128)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
@@ -189,6 +197,13 @@ def load_pth_params(path: str, cfg: RefidConfig, param_key: str = "params"):
         ckpt = ckpt[param_key]
     elif "params_ema" in ckpt:
         ckpt = ckpt["params_ema"]
+    keys = {k[len("module."):] if k.startswith("module.") else k
+            for k in ckpt}
+    if any(k.startswith("conv_ev1.") for k in keys):
+        kw = {}
+        if net is not None:
+            kw = {"depth": net.depth, "fac_place": net.fac_place}
+        return convert_evhinet_state_dict(ckpt, **kw)
     return convert_state_dict(ckpt, cfg)
 
 

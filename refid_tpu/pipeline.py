@@ -52,7 +52,7 @@ class BlurVFIPipeline:
     def __init__(self, params, cfg: RefidConfig, m: int = 11, n: int = 1,
                  norm_voxel: bool = False, fast: Optional[bool] = None,
                  voxelizer: str = "scatter", int8: bool = False,
-                 mesh=None):
+                 mesh=None, fused_egaca: bool = False):
         self.params = params
         self.cfg = cfg
         self.m, self.n = m, n
@@ -75,6 +75,9 @@ class BlurVFIPipeline:
         self._int8_raw_amax = None
         self._int8_rms = None
         self._int8_exclude = None  # tuple of site indices served exact
+        self.fused_egaca = fused_egaca  # two-pass Pallas EGACA kernel
+        # (ops/egaca_fused.py) — tolerance-exact (not bit-exact), targets
+        # the ~230 ms memory-bound scale-1 class in the e2e profile
         self.norm_voxel = norm_voxel  # parity: recurrent recipe skips norm
         self.model = FinalBidirectionAttenfusion(cfg)
         # the packed/width-folded serving forward (serve/fast_forward.py,
@@ -133,7 +136,8 @@ class BlurVFIPipeline:
                               "exclude": qexclude or ()}
                 return fast_forward(params, self.cfg, lq,
                                     _pack_pairs(vox, t), packed=True,
-                                    int8=self.int8, qstate=qstate)[0]
+                                    int8=self.int8, qstate=qstate,
+                                    fused_egaca=self.fused_egaca)[0]
             pairs = jnp.stack([vox[..., i:i + 2] for i in range(t)],
                               axis=0)[None]                 # (1,t,h,w,2)
             return self.model.apply(params, lq, pairs)[0]   # (t,h,w,3)

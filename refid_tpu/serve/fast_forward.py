@@ -151,7 +151,7 @@ def _trunk(p, x, state, dtype=None, fused=False, interpret=False, q=None):
 
 def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
                fused=False, interpret=False, opt=False, q=None,
-               egaca_img=None):
+               egaca_img=None, fused_egaca=False):
     """RecurrentEncoderStage (models/recurrent.py:89-145), simpleconv cell.
 
     ``opt`` enables two profile-guided algebraic rewrites (exact math):
@@ -176,7 +176,19 @@ def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
         if not opt:
             e = jnp.maximum(e, e * 0.2)  # ConvLayer + stage's extra lrelu
     elif i in atten_at:
-        e = _egaca(p["atten"], e, y, dtype, img_branch=egaca_img)
+        use_fused = False
+        if fused_egaca and egaca_img is not None:
+            from refid_tpu.ops.egaca_fused import egaca_fused, egaca_supported
+            use_fused = egaca_supported(p["atten"], e)
+        if use_fused:
+            # two VMEM-resident Pallas passes over width-folded tensors —
+            # the profile's ~230 ms memory-bound scale-1 class
+            # (ops/egaca_fused.py); tolerance-pinned vs this XLA replay
+            e = egaca_fused(p["atten"], e, y, egaca_img, dtype,
+                            interpret=interpret,
+                            swap_mode="perm" if interpret else "roll")
+        else:
+            e = _egaca(p["atten"], e, y, dtype, img_branch=egaca_img)
     else:
         slope = 0.04 if opt else 0.2
         if q is not None:
@@ -273,7 +285,8 @@ def _enc_stage0_folded(p, e_f2, state_f2, bwd_f2, dtype=None, kc=None,
 
 
 def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
-                 interpret=False, int8=False, qstate=None):
+                 interpret=False, int8=False, qstate=None,
+                 fused_egaca=False):
     """Production blur-VFI forward (aliased backward states), trace-time
     unrolled.  x (b, h, w, img_chn) or (b, 2, h, w, c); event
     (b, t, h, w, ev_chn).  Returns (b, t, h, w, out_chn).
@@ -438,7 +451,8 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
                 e, states[i] = _enc_stage(
                     p["bwd"][f"enc_{i}"], i, atten_at, e, y, states[i],
                     None, dt, fused, interpret, opt=packed, q=qcache,
-                    egaca_img=egaca_img.get(("bwd", i)))
+                    egaca_img=egaca_img.get(("bwd", i)),
+                    fused_egaca=fused_egaca)
     bwd_final = states
 
     # forward scan + bottleneck + recurrent decoder + prediction
@@ -467,7 +481,8 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
                 e, fwd_states[i] = _enc_stage(
                     p["fwd"][f"enc_{i}"], i, atten_at, e, y, fwd_states[i],
                     bwd_final[i], dt, fused, interpret, opt=packed, q=qcache,
-                    egaca_img=egaca_img.get(("fwd", i)))
+                    egaca_img=egaca_img.get(("fwd", i)),
+                    fused_egaca=fused_egaca)
             e_blocks.append(e)
         for j in range(cfg.num_residual_blocks):
             pr = p["fwd"][f"res_{j}"]

@@ -121,7 +121,7 @@ class RestorationTaskBase:
         if path.endswith(".pth"):
             from refid_tpu.models.convert import load_pth_params
             cfg = getattr(self.net, "cfg", None)
-            self.params = load_pth_params(path, cfg, param_key)
+            self.params = load_pth_params(path, cfg, param_key, net=self.net)
         else:
             mgr = CheckpointManager(path)
             restored = mgr.restore()

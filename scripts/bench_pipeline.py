@@ -61,12 +61,15 @@ def main():
         "int8": dict(int8=True),
         "int8s0": dict(int8="scale0"),
         "int8st": dict(int8="static"),  # calibrated scales, widest coverage
+        "fegaca": dict(int8=False, fused_egaca=True),  # two-pass Pallas
+        # EGACA kernel on the ~230 ms memory-bound scale-1 class
+        "int8st_fe": dict(int8="static", fused_egaca=True),
     }
 
     for name in which:
         pipe = BlurVFIPipeline(params, cfg, m=m, n=n, **variants[name])
         qscales = None
-        if name == "int8st":
+        if name.startswith("int8st"):
             # calibrate on a center crop: the full-res calib graph OOMs
             # HBM at 720p/t=23 (exact forward + per-site amax edges ~18G);
             # amaxes transfer across resolution (pipeline.calibrate doc)

@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--events", type=int, default=1 << 20)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--dir", default="/tmp/refid_profile_e2e")
+    ap.add_argument("--fegaca", action="store_true",
+                    help="profile the fused-EGACA (Pallas) serving variant")
     args = ap.parse_args()
 
     import numpy as np
@@ -52,7 +54,8 @@ def main():
     params = model.init(jax.random.PRNGKey(0),
                        jnp.zeros((1, 64, 64, cfg.img_chn)),
                        jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
-    pipe = BlurVFIPipeline(params, cfg, m=m, n=n)
+    pipe = BlurVFIPipeline(params, cfg, m=m, n=n,
+                           fused_egaca=args.fegaca)
 
     # EXACTLY bench.py's loop body, so the compiled graph matches the bench.
     @partial(jax.jit, static_argnums=(5,))

@@ -231,20 +231,33 @@ def test_file_client_backends():
         FileClient("lmdb", db_paths="/tmp/x")
 
 
-def test_grain_loader(gopro_root):
-    pytest.importorskip("grain")
-    import jax
-    from refid_tpu.data.grain_loader import build_grain_loader
-    ldc = jax.local_device_count()
+def test_process_loader_matches_threaded(gopro_root):
+    """ProcessPrefetchLoader (spawn worker pool, mp_loader.py) yields the
+    exact batches the threaded loader does for the same sampler — the
+    torch DataLoader(num_workers=N) replacement, executed for real."""
+    from refid_tpu.data.loader import build_loader
+    from refid_tpu.data.mp_loader import ProcessPrefetchLoader
+
+    # _opt defaults keep augmentation off (gt_size None, no flips), so
+    # samples are order-independent and the two loaders are comparable
     opt = _opt(gopro_root)
     opt.update({"batch_size_per_gpu": 1, "use_shuffle": True,
-                "dataset_enlarge_ratio": 4 * ldc, "num_worker_per_gpu": 0})
-    ds = build_dataset(opt)  # 4 items
-    loader = build_grain_loader(ds, opt, is_train=True, seed=3)
-    batches = list(loader)
-    # 4 items * 4*ldc enlarge / (1*ldc global batch) = 16 batches
-    assert len(batches) == 16
-    b = batches[0]
-    assert b["lq"].shape[0] == ldc
-    assert b["voxel"].shape == (ldc, 2 * M + N, 32, 48, 2)
-    assert isinstance(b["seq"], list)
+                "num_worker_per_gpu": 2, "prefetch_mode": "process",
+                "dataset_enlarge_ratio": 4})
+    ds = build_dataset(opt)
+    loader = build_loader(ds, opt, is_train=True, seed=5)
+    assert isinstance(loader, ProcessPrefetchLoader)
+    try:
+        ref = PrefetchLoader(ds, batch_size=loader.batch_size,
+                             sampler=loader.sampler, num_workers=1)
+        for epoch in (0, 1):
+            loader.set_epoch(epoch)
+            ref.set_epoch(epoch)
+            got, want = list(loader), list(ref)
+            assert len(got) == len(want) > 0
+            for b, w in zip(got, want):
+                assert b["seq"] == w["seq"]
+                np.testing.assert_array_equal(b["voxel"], w["voxel"])
+                np.testing.assert_array_equal(b["lq"], w["lq"])
+    finally:
+        loader.close()

@@ -83,6 +83,69 @@ def test_eval_released_smoke(tmp_path, capsys):
         m8["total_psnr"], metrics["total_psnr"])
 
 
+def test_eval_released_single_image_tiled(tmp_path, capsys):
+    """The OTHER released-checkpoint lineage: a SingleMultiConnectEVHINet
+    .pth evaluated through the single-image task with TILED (crop_size)
+    inference — the full fake-checkpoint round trip of VERDICT round-3
+    item 6 (convert -> tiled eval -> table) for the non-recurrent family."""
+    import torch
+    from tests.test_evhinet_parity import _load_ref_evhinet
+
+    data_root = str(tmp_path / "data")
+    make_gopro_tree(data_root, split="test", m=2, n=1, videos=("VID_A",))
+
+    torch.manual_seed(1)
+    mod_t = _load_ref_evhinet()
+    tnet = mod_t.SingleMultiConnectEVHINet(in_chn=3, ev_chn=6, wf=8,
+                                           depth=3, fac_place=2)
+    pth = str(tmp_path / "net_g_EVHINet.pth")
+    torch.save({"params": tnet.state_dict()}, pth)
+
+    cfg = {
+        "name": "eval_released_single_tiled",
+        "model_type": "TestImageEventRestorationModel",
+        "scale": 1, "num_gpu": 1, "manual_seed": 1,
+        "datasets": {"test_1": {
+            "name": "test_si", "type": "GoProSingleImageEventDataset",
+            "dataroot": data_root, "num_bins": 6, "norm_voxel": True,
+            "io_backend": {"type": "disk"},
+        }},
+        "network_g": {"type": "SingleMultiConnectEVHINet", "in_chn": 3,
+                      "ev_chn": 6, "wf": 8, "depth": 3, "fac_place": 2},
+        "path": {"pretrain_network_g": pth, "strict_load_g": True,
+                 "resume_state": None},
+        "val": {"save_img": False, "crop_size": 16, "max_minibatch": 2,
+                "metrics": {"psnr": {"type": "calculate_psnr",
+                                     "crop_border": 0,
+                                     "test_y_channel": False}}},
+    }
+    cfg_path = str(tmp_path / "si_cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    mod = _load_script()
+    results = mod.main(["--pth", pth, "--config", cfg_path,
+                        "--root", str(tmp_path / "results"),
+                        "--max-items", "2"])
+    (_, metrics), = results.items()
+    assert np.isfinite(metrics["psnr"])
+
+    out = capsys.readouterr().out
+    assert "| Metric | Value | Hardware | Source |" in out
+
+    # the tiled eval must agree with the untiled one on the converted
+    # weights (the net is fully convolutional; the adaptive-stride plan
+    # averages overlaps, so equality is to metric noise, not bitwise)
+    cfg["val"]["crop_size"] = None
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    full = mod.main(["--pth", pth, "--config", cfg_path,
+                     "--root", str(tmp_path / "results_full"),
+                     "--max-items", "2"])
+    (_, mfull), = full.items()
+    assert abs(metrics["psnr"] - mfull["psnr"]) < 3.0, (metrics, mfull)
+
+
 def test_eval_released_dataroot_override(tmp_path):
     """--dataroot must rewrite every dataroot* key in every dataset."""
     mod = _load_script()
