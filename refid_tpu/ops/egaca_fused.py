@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["egaca_fused", "egaca_supported"]
+__all__ = ["egaca_fused", "egaca_fused_u", "egaca_supported"]
 
 _EPS = 1e-6  # LayerNorm2d eps (models/layers.py:188)
 
@@ -182,6 +182,224 @@ def _phase_b_kernel(xe, xim, xev, ximg, gate, amat, n2s, n2b, w3a, w3b, b3,
     f5 = dot(ffn, w5) + b5[:]
     ys = dot(ym, wy) + by[:]
     out[:] = (ys + f5 * gamma[:]).astype(odt).reshape(out.shape)
+
+
+def _phase_a_u_kernel(xprev, xcur, xnext, amat, n1s, n1b, w1, b1, wdw, bdw,
+                      oxe, osum, *, B, W, C, Hreal, mdt, odt):
+    """Unfolded-I/O variant of phase A (v2).  Same math as
+    ``_phase_a_kernel`` on the natural (1, rows, W, C) layout: columns are
+    adjacent sublanes of the flattened (rows*W, C) view, so the depthwise
+    3x3's dx taps are plain sublane rolls — no fold-phase blending and no
+    channel-half swaps.  Costs 2x lane padding on VPU ops (C=64 of 128
+    lanes); buys custom-call operand layouts identical to what XLA's convs
+    produce anyway, so no layout constraint propagates into the rest of
+    the graph (the v1 folded-I/O poisoning, PERFORMANCE.md round 4)."""
+    i = pl.program_id(0)
+    M = B * W
+    M2 = (B + 2) * W
+    raw = jnp.concatenate([xprev[0, 0], xcur[0].reshape(M, C),
+                           xnext[0, 0]], axis=0)
+
+    xm = raw.astype(mdt)
+    A = amat[:]
+    mu = jax.lax.dot_general(xm, A, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    d = raw.astype(jnp.float32) - mu
+    var = jax.lax.dot_general((d * d).astype(mdt), A,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    xn = d * jax.lax.rsqrt(var + _EPS) * n1s[:] + n1b[:]
+
+    h = jax.lax.dot_general(xn.astype(mdt), w1[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b1[:]
+
+    # zero rows outside the real image (clamped halo rows + band padding):
+    # the depthwise conv's zero padding in the row direction
+    ridx2 = jax.lax.broadcasted_iota(jnp.int32, (M2, 1), 0) // W \
+        + (i * B - 1)
+    h = jnp.where((ridx2 >= 0) & (ridx2 < Hreal), h, 0.0)
+
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % W
+    col0 = cidx == 0
+    colw = cidx == (W - 1)
+    acc = jnp.zeros((M, C), jnp.float32)
+    for dy in range(3):
+        win = jax.lax.slice(h, (dy * W, 0), (dy * W + M, C))
+        wm = pltpu.roll(win, 1, axis=0)      # column w-1 (same image row)
+        wp = pltpu.roll(win, M - 1, axis=0)  # column w+1
+        t0 = jnp.where(col0, 0.0, wm)
+        t2 = jnp.where(colw, 0.0, wp)
+        acc = acc + wdw[3 * dy, :].reshape(1, C) * t0 \
+                  + wdw[3 * dy + 1, :].reshape(1, C) * win \
+                  + wdw[3 * dy + 2, :].reshape(1, C) * t2
+    xe = _gelu(acc + bdw[:])
+
+    oxe[:] = xe.astype(odt).reshape(1, B, W, C)
+
+    @pl.when(i == 0)
+    def _init():
+        osum[:] = jnp.zeros((8, C), jnp.float32)
+
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) // W + i * B
+    band = jnp.sum(jnp.where(ridx < Hreal, xe, 0.0), axis=0).reshape(1, C)
+    osum[:] = osum[:] + jnp.broadcast_to(band, (8, C))
+
+
+def _phase_b_u_kernel(xe, xim, res, gate, amat, n2s, n2b, w3a, w3b,
+                      b3, beta, w4, b4, w5, b5, wy, by, gamma, out, *, B, W,
+                      C, mdt, odt):
+    """Unfolded-I/O variant of phase B (v2): plain (C, ·) kernels, no
+    block-diagonal doubling; output is (1, B, W, c_out) in the natural
+    layout (c_out = 128 at the flagship attended stage = full lanes).
+    ``res`` is the precomputed residual sum event_feat + image_feat —
+    phase B only ever uses the sum, and passing it as one operand saves a
+    double-buffered block of VMEM (the band=8 budget margin)."""
+    M = B * W
+
+    def dot(a, w):
+        return jax.lax.dot_general(a.astype(mdt), w[:],
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    g = gate[:]
+    xef = xe[0].reshape(M, C)
+    x_img = xim[0].reshape(M, C).astype(mdt) * g
+    x_ev = xef.astype(mdt) * g
+    x3 = dot(x_img, w3a) + dot(x_ev, w3b) + b3[:]
+    y = res[0].reshape(M, C).astype(jnp.float32) + x3 * beta[:]
+
+    ym = y.astype(mdt)
+    mu = dot(ym, amat)
+    d = y - mu
+    var = dot((d * d), amat)
+    ny = d * jax.lax.rsqrt(var + _EPS) * n2s[:] + n2b[:]
+
+    ffn = _gelu(dot(ny, w4) + b4[:])
+    f5 = dot(ffn, w5) + b5[:]
+    ys = dot(ym, wy) + by[:]
+    out[:] = (ys + f5 * gamma[:]).astype(odt).reshape(out.shape)
+
+
+def egaca_fused_u(p, event_feat, image_feat, img_branch, dtype=None, *,
+                  band=None, interpret=False):
+    """v2 of the fused EGACA: unfolded (1, H, W, C) kernel I/O.
+
+    v1 (``egaca_fused``) wins 3.9x standalone but LOSES ~400 ms e2e: its
+    width-fold reshapes at the custom-call boundary let XLA layout
+    assignment propagate the pallas default-layout requirement upstream
+    and re-lay the entire scale-0 folded trunk into 16 TF/s loop fusions
+    (PERFORMANCE.md round 4).  Here the operands and result keep their
+    natural conv shapes, whose default layout is exactly what the
+    producing/consuming convs want — the boundary is constraint-free.
+    The trade: in-kernel VPU ops run on 64 of 128 lanes.  Parity is
+    pinned by the same tests as v1 (tests/test_egaca_fused.py)."""
+    assert egaca_supported(p, event_feat), "unsupported EGACA geometry"
+    b, H, W, C = event_feat.shape
+    c_out = p["conv5"]["kernel"].shape[-1]
+    B = band or 8
+    Hp = -(-H // B) * B
+    nb = Hp // B
+    mdt = dtype or jnp.float32
+    odt = dtype or jnp.float32
+
+    def prep(x):
+        x = x.astype(odt)
+        if Hp != H:
+            x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+        return x
+
+    ev_u, img_u, xb_u = prep(event_feat), prep(image_feat), prep(img_branch)
+
+    def vec(v, n=None):  # (C,) param -> (1, C) broadcast row
+        return v.reshape(1, -1).astype(mdt)
+
+    amat = jnp.full((C, C), 1.0 / C, mdt)
+    w1 = p["conv1_e"]["kernel"][0, 0].astype(mdt)
+    wdw = p["conv2_e"]["kernel"][:, :, 0, :].reshape(9, C).astype(mdt)
+
+    prev_spec = pl.BlockSpec((1, 1, W, C),
+                             lambda i: (0, jnp.maximum(i * B - 1, 0), 0, 0),
+                             memory_space=pltpu.VMEM)
+    next_spec = pl.BlockSpec(
+        (1, 1, W, C),
+        lambda i: (0, jnp.minimum(i * B + B, Hp - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    cur_spec = pl.BlockSpec((1, B, W, C), lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    xe_u, sums = pl.pallas_call(
+        functools.partial(_phase_a_u_kernel, B=B, W=W, C=C, Hreal=H,
+                          mdt=mdt, odt=odt),
+        grid=(nb,),
+        in_specs=[prev_spec, cur_spec, next_spec,
+                  wspec((C, C)),
+                  wspec((1, C)), wspec((1, C)),
+                  wspec((C, C)), wspec((1, C)),
+                  wspec((9, C)), wspec((1, C))],
+        out_specs=[cur_spec,
+                   pl.BlockSpec((8, C), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1, Hp, W, C), odt),
+                   jax.ShapeDtypeStruct((8, C), f32)],
+        interpret=interpret,
+    )(ev_u, ev_u, ev_u, amat,
+      vec(p["norm1_e"]["scale"]), vec(p["norm1_e"]["bias"]),
+      w1, vec(p["conv1_e"]["bias"]),
+      wdw, vec(p["conv2_e"]["bias"]))
+
+    # SE gate from the event branch (tiny fc chain, XLA)
+    mean = (jnp.sum(sums, axis=0) / 8.0) / jnp.float32(H * W)
+    se = p["se_1"]
+    g = jax.nn.relu(mean.astype(mdt) @ se["fc1"]["kernel"][0, 0].astype(mdt)
+                    + se["fc1"]["bias"].astype(mdt))
+    g = jax.nn.sigmoid(g @ se["fc2"]["kernel"][0, 0].astype(mdt)
+                       + se["fc2"]["bias"].astype(mdt))
+    gate = g.reshape(1, C).astype(mdt)
+
+    k3 = p["conv3"]["kernel"][0, 0]  # (2C, C): [img-half; event-half]
+    # phase B has no halo, so it can run at a smaller band: its c_out=2C
+    # output blocks + f32 temps put the band=8 kernel stack 24K over the
+    # 16M scoped-VMEM limit inside larger graphs (measured e2e; the
+    # standalone compile fits only borderline).  Bb must divide Hp.
+    Bb = B // 2 if B % 2 == 0 and B >= 8 else B
+    curb_spec = pl.BlockSpec((1, Bb, W, C), lambda i: (0, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_cur_spec = pl.BlockSpec((1, Bb, W, c_out), lambda i: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    res_u = ev_u + img_u  # phase B only uses the residual SUM
+    out_u = pl.pallas_call(
+        functools.partial(_phase_b_u_kernel, B=Bb, W=W, C=C, mdt=mdt,
+                          odt=odt),
+        grid=(Hp // Bb,),
+        in_specs=[curb_spec, curb_spec, curb_spec,
+                  wspec((1, C)), wspec((C, C)),
+                  wspec((1, C)), wspec((1, C)),
+                  wspec((C, C)), wspec((C, C)), wspec((1, C)),
+                  wspec((1, C)),
+                  wspec((C, 2 * C)), wspec((1, 2 * C)),
+                  wspec((2 * C, c_out)), wspec((1, c_out)),
+                  wspec((C, c_out)), wspec((1, c_out)), wspec((1, c_out))],
+        out_specs=out_cur_spec,
+        out_shape=jax.ShapeDtypeStruct((1, Hp, W, c_out), odt),
+        interpret=interpret,
+    )(xe_u, xb_u, res_u, gate, amat,
+      vec(p["norm2"]["scale"]), vec(p["norm2"]["bias"]),
+      k3[:C].astype(mdt), k3[C:].astype(mdt), vec(p["conv3"]["bias"]),
+      vec(p["beta"].reshape(-1)),
+      p["conv4"]["kernel"][0, 0].astype(mdt),
+      vec(p["conv4"]["bias"]),
+      p["conv5"]["kernel"][0, 0].astype(mdt), vec(p["conv5"]["bias"]),
+      p["conv_y_side"]["kernel"][0, 0].astype(mdt),
+      vec(p["conv_y_side"]["bias"]),
+      vec(p["gamma"].reshape(-1)))
+
+    return out_u[:, :H] if Hp != H else out_u
 
 
 def egaca_supported(p, event_feat):

@@ -52,7 +52,7 @@ class BlurVFIPipeline:
     def __init__(self, params, cfg: RefidConfig, m: int = 11, n: int = 1,
                  norm_voxel: bool = False, fast: Optional[bool] = None,
                  voxelizer: str = "scatter", int8: bool = False,
-                 mesh=None, fused_egaca: bool = False):
+                 mesh=None, fused_egaca=False):
         self.params = params
         self.cfg = cfg
         self.m, self.n = m, n
@@ -75,9 +75,12 @@ class BlurVFIPipeline:
         self._int8_raw_amax = None
         self._int8_rms = None
         self._int8_exclude = None  # tuple of site indices served exact
+        assert fused_egaca in (False, True, "v1")
         self.fused_egaca = fused_egaca  # two-pass Pallas EGACA kernel
         # (ops/egaca_fused.py) — tolerance-exact (not bit-exact), targets
-        # the ~230 ms memory-bound scale-1 class in the e2e profile
+        # the ~230 ms memory-bound scale-1 class in the e2e profile.
+        # True = v2 (unfolded I/O); "v1" = folded I/O (e2e-negative, kept
+        # for the layout-poisoning A/B)
         self.norm_voxel = norm_voxel  # parity: recurrent recipe skips norm
         self.model = FinalBidirectionAttenfusion(cfg)
         # the packed/width-folded serving forward (serve/fast_forward.py,

@@ -178,15 +178,24 @@ def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
     elif i in atten_at:
         use_fused = False
         if fused_egaca and egaca_img is not None:
-            from refid_tpu.ops.egaca_fused import egaca_fused, egaca_supported
+            from refid_tpu.ops.egaca_fused import (egaca_fused,
+                                                   egaca_fused_u,
+                                                   egaca_supported)
             use_fused = egaca_supported(p["atten"], e)
         if use_fused:
-            # two VMEM-resident Pallas passes over width-folded tensors —
-            # the profile's ~230 ms memory-bound scale-1 class
-            # (ops/egaca_fused.py); tolerance-pinned vs this XLA replay
-            e = egaca_fused(p["atten"], e, y, egaca_img, dtype,
-                            interpret=interpret,
-                            swap_mode="perm" if interpret else "roll")
+            # two VMEM-resident Pallas passes — the profile's ~230 ms
+            # memory-bound scale-1 class (ops/egaca_fused.py);
+            # tolerance-pinned vs this XLA replay.  fused_egaca="v1"
+            # selects the folded-I/O kernel (measured e2e NEGATIVE —
+            # layout poisoning, PERFORMANCE.md round 4); default is the
+            # unfolded-I/O v2 whose boundary is constraint-free.
+            if fused_egaca == "v1":
+                e = egaca_fused(p["atten"], e, y, egaca_img, dtype,
+                                interpret=interpret,
+                                swap_mode="perm" if interpret else "roll")
+            else:
+                e = egaca_fused_u(p["atten"], e, y, egaca_img, dtype,
+                                  interpret=interpret)
         else:
             e = _egaca(p["atten"], e, y, dtype, img_branch=egaca_img)
     else:

@@ -20,7 +20,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/refid_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from tests.test_egaca_fused import _params
-from refid_tpu.ops.egaca_fused import egaca_fused
+from refid_tpu.ops.egaca_fused import egaca_fused, egaca_fused_u
 from refid_tpu.serve.fast_forward import _egaca, _egaca_img_branch
 
 
@@ -50,6 +50,8 @@ def main():
     band = 8
     if "--band" in sys.argv:
         band = int(sys.argv[sys.argv.index("--band") + 1])
+    v1 = "--v1" in sys.argv  # default probes v2 (unfolded I/O)
+    kern = egaca_fused if v1 else egaca_fused_u
     ctx = "--ctx" in sys.argv  # conv producer/consumer context, like the
     # serving graph: e = down-conv(input) -> EGACA -> trunk conv.  The e2e
     # profile says the fused kernel's in-graph cost is ~6 ms/call higher
@@ -86,14 +88,7 @@ def main():
     @wrap
     def fused(p, ev, img):
         xb = _egaca_img_branch(p, img, dt)
-        return egaca_fused(p, ev, img, xb, dt, band=band)
-
-    def fused_pre(p, ev, img):
-        # img branch precomputed outside the loop (the serving situation:
-        # it is computed once per direction, not per step)
-        xb = _egaca_img_branch(p, img, dt)
-        return egaca_fused(p, ev, jnp.zeros_like(img), xb, dt, band=band) \
-            + 0 * img[..., :1]
+        return kern(p, ev, img, xb, dt, band=band)
 
     # numeric check first (device): fused vs xla
     want = np.asarray(xla(p, ev, img), np.float32)

@@ -62,28 +62,37 @@ def _inputs(seed, H, W, C=64):
     return ev, img
 
 
+def _fused(variant):
+    """Dispatch the kernel variant under test: "v1" = folded I/O,
+    "v2" = unfolded I/O (the default served by fast_forward)."""
+    from refid_tpu.ops.egaca_fused import egaca_fused, egaca_fused_u
+
+    if variant == "v1":
+        return lambda *a, **k: egaca_fused(*a, swap_mode="perm", **k)
+    return egaca_fused_u
+
+
+@pytest.mark.parametrize("variant", ["v1", "v2"])
 @pytest.mark.parametrize("H,W,c_out", [(32, 64, 128), (44, 32, 128),
                                        (32, 64, 64)])
-def test_egaca_fused_parity_f32(H, W, c_out):
+def test_egaca_fused_parity_f32(H, W, c_out, variant):
     """f32 interpret-mode parity, including a height that is not a
     multiple of the band (row masking path) and both supported output
     projections (c_out = 2c is the production attended stage)."""
-    from refid_tpu.ops.egaca_fused import egaca_fused
     from refid_tpu.serve.fast_forward import _egaca, _egaca_img_branch
 
     p = _params(jax.random.PRNGKey(0), c_out=c_out)
     ev, img = _inputs(1, H, W)
     want = np.asarray(_egaca(p, ev, img, None))
     xb = _egaca_img_branch(p, img, None)
-    got = np.asarray(egaca_fused(p, ev, img, xb, None, interpret=True,
-                                 swap_mode="perm"))
+    got = np.asarray(_fused(variant)(p, ev, img, xb, None, interpret=True))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-4)
 
 
-def test_egaca_fused_parity_bf16():
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+def test_egaca_fused_parity_bf16(variant):
     """bf16 compute-dtype parity within bf16 noise (the serving config)."""
-    from refid_tpu.ops.egaca_fused import egaca_fused
     from refid_tpu.serve.fast_forward import _egaca, _egaca_img_branch
 
     p = _params(jax.random.PRNGKey(2))
@@ -91,17 +100,21 @@ def test_egaca_fused_parity_bf16():
     dt = jnp.bfloat16
     want = np.asarray(_egaca(p, ev, img, dt), np.float32)
     xb = _egaca_img_branch(p, img, dt)
-    got = np.asarray(egaca_fused(p, ev, img, xb, dt, interpret=True,
-                                 swap_mode="perm"), np.float32)
+    got = np.asarray(_fused(variant)(p, ev, img, xb, dt, interpret=True),
+                     np.float32)
     span = want.max() - want.min()
     rmse = np.sqrt(((got - want) ** 2).mean())
     db = 20 * np.log10(span / rmse)
     assert db >= 40.0, f"fused EGACA bf16 parity only {db:.1f} dB"
 
 
-def test_fast_forward_fused_egaca_wired(monkeypatch):
-    """fast_forward(fused_egaca=True) == fast_forward() at the production
+@pytest.mark.parametrize("flag,attr", [(True, "egaca_fused_u"),
+                                       ("v1", "egaca_fused")])
+def test_fast_forward_fused_egaca_wired(monkeypatch, flag, attr):
+    """fast_forward(fused_egaca=...) == fast_forward() at the production
     channel width (base=32 -> C=64 at the attended stage), interpret mode.
+    fused_egaca=True routes to the unfolded-I/O v2 kernel; "v1" keeps the
+    folded-I/O kernel for the layout-poisoning A/B.
 
     ALSO asserts the fused kernel actually RAN: an earlier version of this
     test passed vacuously because egaca_supported rejected the real param
@@ -120,12 +133,12 @@ def test_fast_forward_fused_egaca_wired(monkeypatch):
     want = np.asarray(fast_forward(params, cfg, x, ev))
 
     calls = []
-    orig = ef.egaca_fused
-    monkeypatch.setattr(ef, "egaca_fused",
+    orig = getattr(ef, attr)
+    monkeypatch.setattr(ef, attr,
                         lambda *a, **k: calls.append(1) or orig(*a, **k))
-    got = np.asarray(fast_forward(params, cfg, x, ev, fused_egaca=True,
+    got = np.asarray(fast_forward(params, cfg, x, ev, fused_egaca=flag,
                                   interpret=True))
-    assert calls, "fused_egaca=True never reached the Pallas kernel"
+    assert calls, f"fused_egaca={flag!r} never reached the Pallas kernel"
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-4)
 
