@@ -3,7 +3,29 @@
 on-device voxelization and packing (round 3; rounds 1-2 measured the
 network forward alone).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints a SEQUENCE of JSON result lines (same metric; each supersedes the
+previous — parse the LAST one): (1) a PROVISIONAL line from the
+width-folded lax.scan serving pipeline, whose ~20x-smaller HLO traces,
+compiles, and relay-loads in a fraction of the unrolled graph's time, then
+(2) the headline line from the production trace-time-unrolled pipeline.
+If the run is killed before the headline lands, the tail of stdout still
+parses to an honest (slower) end-to-end number.
+
+Why staged (round-5 forensics of the r04 `rc: 124` timeout artifact):
+  * the t=23 720p unrolled executable costs ~7 min cold through the
+    compile relay — measured split (scripts/diag_bench_compile.py):
+    trace+lower 8 s, relay compile 171 s, FIRST EXECUTION 234 s (relay
+    executable finalization/load — paid per executable even when the
+    persistent cache is warm), run 0.95 s/window;
+  * the r04 bench compiled TWO such executables (one per static iteration
+    count) and printed nothing until both finished.  This version uses a
+    dynamic (traced) iteration count — ONE executable serves every
+    measurement — and prints a result as soon as each pipeline produces
+    its first timed window;
+  * params are built host-side (eval_shape + numpy fill) — model.init on
+    the relay was another ~2 min of the cold path.  Weight values are
+    runtime arguments, so they cannot change the compiled program's
+    timing.
 
 value      = sharp frames produced per second per chip (one pipeline call
              emits t=23 frames from 2 blurred frames + the raw event
@@ -37,10 +59,13 @@ one H100, documented here:
   cost analysis produced by counting the scan body ONCE instead of x23.
   Round 2 debunked it (PERFORMANCE.md:92-101); round 3 corrected the
   constant.  Comparable vs_baseline trend: r01 0.023 -> r02 0.077 on the
-  old scale = r01 0.156 -> r02 0.511 on this scale.
+  old scale = r01 0.156 -> r02 0.511 on this scale.  BENCH_r04.json is a
+  TIMEOUT artifact (rc 124), not a regression — the measured r04 number
+  was 25.03 fps (PERFORMANCE.md round 4).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -53,6 +78,34 @@ import os as _os
 N_EVENTS = int(_os.environ.get("BENCH_N_EVENTS", 1 << 20))  # ~1M events per
 # 12-frame 720p window is the realistic order; override for diagnostics
 
+_T0 = time.perf_counter()
+
+
+def _note(msg):
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _result(fps, stage):
+    print(json.dumps({
+        "metric": ("blur-VFI 11+1 END-TO-END frames/sec/chip @1280x720 "
+                   "(raw events + frames in)"),
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / H100_REFERENCE_FPS_EST, 3),
+        "notes": (stage
+                  + f"includes on-device voxelization of {N_EVENTS} events + "
+                  f"packing + forward; baseline = "
+                  f"{H100_REFERENCE_FPS_EST:.0f} fps analytic H100-eager "
+                  f"estimate (54.1 TFLOP/forward, see docstring); v5e bf16 "
+                  f"exact-math forward ceiling = "
+                  f"{V5E_BF16_CEILING_FPS:.0f} fps "
+                  f"({fps / V5E_BF16_CEILING_FPS:.0%} achieved); headline "
+                  f"is EXACT bf16 math — int8 serving modes (dB-gated, "
+                  f"off pending released-checkpoint validation) measure "
+                  f"faster: scripts/bench_pipeline.py int8s0/int8st"),
+    }), flush=True)
+
 
 def main():
     import jax
@@ -63,6 +116,8 @@ def main():
 
     from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
     from refid_tpu.pipeline import BlurVFIPipeline
+
+    _note("imports done")
 
     # END-TO-END serving: raw events + 2 blurred frames in, 23 sharp frames
     # out — ONE device program: voxelization (XLA scatter), deblur-voxel
@@ -83,10 +138,18 @@ def main():
     events[:, 3] = rng.randint(0, 2, N_EVENTS)            # polarity
     events = jnp.asarray(events)
     n_ev = jnp.int32(N_EVENTS)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 64, cfg.img_chn)),
-                        jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
-    pipe = BlurVFIPipeline(params, cfg, m=m, n=n)
+
+    # Host-built params: eval_shape traces init WITHOUT compiling it (the
+    # relay-compiled model.init was ~2 min of the r04 cold path); values
+    # are runtime arguments, irrelevant to compiled-program timing.
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, cfg.img_chn)),
+                            jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
+    prng = np.random.RandomState(1)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(0.05 * prng.standard_normal(s.shape),
+                              s.dtype), shapes)
+    _note("params built on host")
 
     # NOTE: the device is reached through an async relay where
     # block_until_ready acknowledges enqueue, not completion, and identical
@@ -95,56 +158,68 @@ def main():
     # force completion by fetching the final scalar to the host.  All big
     # arrays are passed as ARGUMENTS (a closure would embed them as HLO
     # constants, which the compile relay rejects for 720p inputs).
-    from functools import partial
+    # `iters` is a TRACED argument: every call shares one executable.
+    def make_bench_fn(pipe):
+        @jax.jit
+        def bench_fn(params, b0, b1, events, n_ev, iters):
+            def body(_, carry):
+                b0i, evi, s = carry
+                out = pipe._run(params, b0i, b1, evi, n_ev,
+                                height=h, width=w)
+                s = jnp.mean(out.astype(jnp.float32))
+                # chain BOTH the frames and the event buffer through the
+                # carry: with loop-invariant events, XLA could hoist the
+                # voxelization out of the fori_loop and the "end-to-end"
+                # claim would exclude it.  The +s*1e-12 perturbation is
+                # exact-zero in f32 for the magnitudes involved, so every
+                # iteration computes identical values while the data
+                # dependence forces full re-execution.
+                b0i = (b0.astype(jnp.float32) + s * 1e-12).astype(b0.dtype)
+                evi = events + s * 1e-12
+                return (b0i, evi, s)
 
-    @partial(jax.jit, static_argnums=(5,))
-    def bench_fn(params, b0, b1, events, n_ev, iters):
-        def body(_, carry):
-            b0i, evi, s = carry
-            out = pipe._run(params, b0i, b1, evi, n_ev,
-                            height=h, width=w)
-            s = jnp.mean(out.astype(jnp.float32))
-            # chain BOTH the frames and the event buffer through the carry:
-            # with loop-invariant events, XLA could hoist the voxelization
-            # out of the fori_loop and the "end-to-end" claim would exclude
-            # it.  The +s*1e-12 perturbation is exact-zero in f32 for the
-            # magnitudes involved, so every iteration computes identical
-            # values while the data dependence forces full re-execution.
-            b0i = (b0.astype(jnp.float32) + s * 1e-12).astype(b0.dtype)
-            evi = events + s * 1e-12
-            return (b0i, evi, s)
+            return jax.lax.fori_loop(
+                0, iters, body, (b0, events, jnp.float32(0.0)))[2]
 
-        return jax.lax.fori_loop(
-            0, iters, body, (b0, events, jnp.float32(0.0)))[2]
+        def bench_iters(iters):
+            t0 = time.perf_counter()
+            float(bench_fn(params, blur0, blur1, events, n_ev,
+                           jnp.int32(iters)))
+            return time.perf_counter() - t0
 
-    def bench_iters(iters):
-        float(bench_fn(params, blur0, blur1, events, n_ev, iters))
-        t0 = time.perf_counter()
-        float(bench_fn(params, blur0, blur1, events, n_ev, iters))
-        return time.perf_counter() - t0
+        return bench_iters
 
+    # ---- stage 1: PROVISIONAL from the folded-scan pipeline ------------
+    # (exact math, ~20x smaller HLO: lands a parsable honest number inside
+    # any compile budget; superseded by the unrolled headline below)
+    try:
+        scan_bench = make_bench_fn(
+            BlurVFIPipeline(params, cfg, m=m, n=n, scan=True))
+        scan_bench(1)  # trace + compile + relay load + 1 window
+        _note("scan pipeline compiled/warm")
+        dt1 = scan_bench(1)
+        _note(f"scan window: {dt1 * 1e3:.1f} ms (incl. dispatch)")
+        _result(t / dt1, "PROVISIONAL (width-folded lax.scan serving "
+                         "path incl. dispatch overhead; the unrolled "
+                         "headline follows). ")
+        dt = (scan_bench(4) - dt1) / 3
+        _note(f"scan refined: {dt * 1e3:.1f} ms/window over 3 iters")
+        _result(t / dt, "PROVISIONAL (width-folded lax.scan serving "
+                        "path; the unrolled headline follows). ")
+    except Exception as e:  # never let the provisional stage kill the
+        _note(f"scan provisional stage failed: {e!r}")  # headline stage
+
+    # ---- stage 2: headline from the unrolled fast pipeline -------------
+    bench_iters = make_bench_fn(BlurVFIPipeline(params, cfg, m=m, n=n))
+    bench_iters(1)  # trace + compile (or cache load) + relay load + window
+    _note("unrolled pipeline compiled/warm")
     dt1 = bench_iters(1)
-    iters = 10
+    _note(f"first timed window: {dt1 * 1e3:.1f} ms (incl. dispatch)")
+    _result(t / dt1, "")
+    iters = 4
     dt = (bench_iters(iters + 1) - dt1) / iters  # subtract dispatch overhead
-
-    fps = t / dt
-    print(json.dumps({
-        "metric": ("blur-VFI 11+1 END-TO-END frames/sec/chip @1280x720 "
-                   "(raw events + frames in)"),
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / H100_REFERENCE_FPS_EST, 3),
-        "notes": (f"includes on-device voxelization of {N_EVENTS} events + "
-                  f"packing + forward; baseline = "
-                  f"{H100_REFERENCE_FPS_EST:.0f} fps analytic H100-eager "
-                  f"estimate (54.1 TFLOP/forward, see docstring); v5e bf16 "
-                  f"exact-math forward ceiling = "
-                  f"{V5E_BF16_CEILING_FPS:.0f} fps "
-                  f"({fps / V5E_BF16_CEILING_FPS:.0%} achieved); headline "
-                  f"is EXACT bf16 math — int8 serving modes (dB-gated, "
-                  f"off pending released-checkpoint validation) measure "
-                  f"faster: scripts/bench_pipeline.py int8s0/int8st"),
-    }))
+    _note(f"refined: {dt * 1e3:.1f} ms/window over {iters} iters")
+    _result(t / dt, "")
 
 
 if __name__ == "__main__":

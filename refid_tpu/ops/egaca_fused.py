@@ -293,7 +293,7 @@ def egaca_fused_u(p, event_feat, image_feat, img_branch, dtype=None, *,
     producing/consuming convs want — the boundary is constraint-free.
     The trade: in-kernel VPU ops run on 64 of 128 lanes.  Parity is
     pinned by the same tests as v1 (tests/test_egaca_fused.py)."""
-    assert egaca_supported(p, event_feat), "unsupported EGACA geometry"
+    assert egaca_supported(p, event_feat, "v2"), "unsupported EGACA geometry"
     b, H, W, C = event_feat.shape
     c_out = p["conv5"]["kernel"].shape[-1]
     B = band or 8
@@ -310,7 +310,7 @@ def egaca_fused_u(p, event_feat, image_feat, img_branch, dtype=None, *,
 
     ev_u, img_u, xb_u = prep(event_feat), prep(image_feat), prep(img_branch)
 
-    def vec(v, n=None):  # (C,) param -> (1, C) broadcast row
+    def vec(v):  # (C,) param -> (1, C) broadcast row
         return v.reshape(1, -1).astype(mdt)
 
     amat = jnp.full((C, C), 1.0 / C, mdt)
@@ -402,13 +402,21 @@ def egaca_fused_u(p, event_feat, image_feat, img_branch, dtype=None, *,
     return out_u[:, :H] if Hp != H else out_u
 
 
-def egaca_supported(p, event_feat):
-    """The fused kernel covers the production EGACA geometry: batch 1,
-    64 channels (folded to 128 lanes), dw_expand=1, ffn_expand=2,
-    c_out in {c, 2c} (the flagship attended stage projects 64 -> 128,
-    models/fusion.py:77-84), even width."""
+def egaca_supported(p, event_feat, variant="v2"):
+    """The fused kernels cover the production EGACA geometry: batch 1,
+    64 channels, dw_expand=1, ffn_expand=2, c_out in {c, 2c} (the flagship
+    attended stage projects 64 -> 128, models/fusion.py:77-84).
+
+    Per-variant constraints: v1 folds width (needs W % 2 == 0); v2 keeps
+    the natural layout, so any width works.  Both pin 2*C == 128 — the
+    band sizes, VMEM budget, and roll-based dx taps are tuned (and only
+    parity-tested) at the flagship C=64; other channel counts fall back
+    to the XLA path rather than run an unvalidated kernel geometry."""
     b, _, W, C = event_feat.shape
-    return (b == 1 and 2 * C == 128 and W % 2 == 0
+    if variant not in ("v1", "v2"):
+        raise ValueError(f"unknown fused-EGACA variant {variant!r}")
+    return (b == 1 and 2 * C == 128
+            and (variant == "v2" or W % 2 == 0)
             and p["conv1_e"]["kernel"].shape[-1] == C
             and p["conv4"]["kernel"].shape[-1] == 2 * C
             and p["conv5"]["kernel"].shape[-1] in (C, 2 * C)
@@ -422,7 +430,7 @@ def egaca_fused(p, event_feat, image_feat, img_branch, dtype=None, *,
     ``img_branch``).  event_feat/image_feat/img_branch: (1, H, W, C);
     returns (1, H, W, C).  ``dtype`` is the compute dtype (None = f32),
     matching the XLA path's casting discipline."""
-    assert egaca_supported(p, event_feat), "unsupported EGACA geometry"
+    assert egaca_supported(p, event_feat, "v1"), "unsupported EGACA geometry"
     b, H, W, C = event_feat.shape
     c_out = p["conv5"]["kernel"].shape[-1]
     L, Lo, Wp, B = 2 * C, 2 * c_out, W // 2, band

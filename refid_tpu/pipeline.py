@@ -13,7 +13,7 @@ compiled executables.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Optional, Union
 
 import numpy as np
 
@@ -51,8 +51,10 @@ class BlurVFIPipeline:
 
     def __init__(self, params, cfg: RefidConfig, m: int = 11, n: int = 1,
                  norm_voxel: bool = False, fast: Optional[bool] = None,
-                 voxelizer: str = "scatter", int8: bool = False,
-                 mesh=None, fused_egaca=False):
+                 voxelizer: str = "scatter",
+                 int8: Union[bool, str] = False,
+                 mesh=None, fused_egaca: Union[bool, str] = False,
+                 scan: bool = False, scan_unroll: int = 1):
         self.params = params
         self.cfg = cfg
         self.m, self.n = m, n
@@ -62,11 +64,16 @@ class BlurVFIPipeline:
         # exchanges — tests/test_spatial_sharding.py pins packed-serving
         # parity).  Build with parallel.make_mesh(data=1, spatial=N).
         self.num_bins = self._derive_num_bins(m, n)
-        assert voxelizer in ("scatter", "pallas")
+        # user-facing argument validation raises (asserts vanish under -O)
+        if voxelizer not in ("scatter", "pallas"):
+            raise ValueError(f"voxelizer must be 'scatter' or 'pallas'; "
+                             f"got {voxelizer!r}")
         self.voxelizer = voxelizer  # 'pallas': fully on-device sort +
         # one-hot-MXU kernel (events/voxel_pallas.voxelize_device) instead
         # of the XLA scatter
-        assert int8 in (False, True, "scale0", "static")
+        if int8 not in (False, True, "scale0", "static"):
+            raise ValueError(f"int8 must be False, True, 'scale0', or "
+                             f"'static'; got {int8!r}")
         self.int8 = int8  # int8 MXU serving (NOT exact math —
         # serve/quant.py, dB-gated in tests/test_quant.py).  "static" =
         # widest coverage with CALIBRATED activation scales; requires one
@@ -75,7 +82,9 @@ class BlurVFIPipeline:
         self._int8_raw_amax = None
         self._int8_rms = None
         self._int8_exclude = None  # tuple of site indices served exact
-        assert fused_egaca in (False, True, "v1")
+        if fused_egaca not in (False, True, "v1"):
+            raise ValueError(f"fused_egaca must be False, True (v2), or "
+                             f"'v1'; got {fused_egaca!r}")
         self.fused_egaca = fused_egaca  # two-pass Pallas EGACA kernel
         # (ops/egaca_fused.py) — tolerance-exact (not bit-exact), targets
         # the ~230 ms memory-bound scale-1 class in the e2e profile.
@@ -89,6 +98,23 @@ class BlurVFIPipeline:
         if fast is None:
             fast = _fast_serving_applicable(cfg)
         self.fast = fast
+        # scan=True serves through the width-folded lax.scan forward
+        # (serve/fast_scan.py, exact math) instead of the trace-time-
+        # unrolled fast_forward: ~20x smaller HLO, so it traces+compiles
+        # in a fraction of the time at a modest throughput cost.  Used by
+        # bench.py to guarantee a provisional result lands inside any
+        # compile budget; also the right mode for one-off/interactive use
+        # where compile latency dominates.
+        if scan and not fast:
+            raise ValueError("scan=True requires the fast serving path "
+                             "(production config)")
+        if scan and int8:
+            raise ValueError("scan=True serving is bf16/f32 only")
+        self.scan = scan
+        self.scan_unroll = scan_unroll  # lax.scan unroll factor for
+        # scan=True: k step bodies per while iteration — graph size (and
+        # relay compile/load cost) scales with k, throughput approaches
+        # the fully-unrolled path's as k grows
 
         def _prep(frame0, frame1, events, n_events, height, width):
             if self.voxelizer == "pallas":
@@ -127,6 +153,12 @@ class BlurVFIPipeline:
                  qscales=None, qexclude=None):
             vox, lq, t = _prep(frame0, frame1, events, n_events, height,
                                width)
+            if self.fast and self.scan:
+                from refid_tpu.serve.fast_scan import fast_apply_scan
+                return fast_apply_scan(params, self.cfg, lq,
+                                       _pack_pairs(vox, t),
+                                       remat=False,
+                                       unroll=self.scan_unroll)[0]
             if self.fast:
                 from refid_tpu.serve import fast_forward
                 qstate = None

@@ -181,7 +181,8 @@ def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
             from refid_tpu.ops.egaca_fused import (egaca_fused,
                                                    egaca_fused_u,
                                                    egaca_supported)
-            use_fused = egaca_supported(p["atten"], e)
+            use_fused = egaca_supported(
+                p["atten"], e, "v1" if fused_egaca == "v1" else "v2")
         if use_fused:
             # two VMEM-resident Pallas passes — the profile's ~230 ms
             # memory-bound scale-1 class (ops/egaca_fused.py);
@@ -311,6 +312,11 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
         re-does per scan direction (XXNet_final_attenfusion_arch.py:172/185).
       * The 3-channel prediction conv similarly runs s2d-packed.
     """
+    if fused_egaca not in (False, True, "v1"):
+        # normalize/validate ONCE at the entry point: a typo like "V1"
+        # must not silently select v2 and skew the kernel A/B
+        raise ValueError(f"fused_egaca must be False, True (v2), or 'v1'; "
+                         f"got {fused_egaca!r}")
     assert cfg.bidirectional and cfg.aliased_backward_states
     assert cfg.recurrent_cell == "simpleconv" and cfg.num_block == 1
     assert cfg.encoder_stage == "then_down"

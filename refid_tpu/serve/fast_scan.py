@@ -97,13 +97,24 @@ def fast_apply_scan(params, cfg, x, event, *, remat=True, unroll=1,
 
     if x.ndim == 5:
         x = jnp.concatenate([x[:, i] for i in range(x.shape[1])], axis=-1)
-    b, t, h, w, _ = event.shape
+    if event.shape[-1] == 4 * cfg.ev_chn:
+        # pre-packed serving input: s2d(2,2) voxel-bin pairs
+        # (b, t, h/2, w/2, 4*ev_chn) — same contract as fast_forward; the
+        # on-device voxelizer emits this directly so the 64x-lane-padded
+        # raw (.., ev_chn) stack never materializes
+        b, t, h2, w2, _ = event.shape
+        h, w = 2 * h2, 2 * w2
+    else:
+        b, t, h, w, _ = event.shape
 
     kcache = {}  # top-level-trace only: bodies build their own (see below)
 
     # event head + scale-0 stage conv, batched over t x directions at the
     # TOP level (outside the scans): both are image/state-independent
-    evp = space_to_depth(event.reshape(b * t, h, w, event.shape[-1]), 2)
+    if event.shape[-1] == 4 * cfg.ev_chn:
+        evp = event.reshape(b * t, h // 2, w // 2, event.shape[-1])
+    else:
+        evp = space_to_depth(event.reshape(b * t, h, w, event.shape[-1]), 2)
     hf = conv_s2d(evp, p["head"]["kernel"], p["head"]["bias"], 2, dt)
     hf = jnp.maximum(hf, 0.2 * hf)
     hfw = s2d_to_wfold(hf)  # (b*t, h, w/2, 2c)

@@ -52,9 +52,16 @@ def main():
     events[:, 3] = rng.randint(0, 2, N)
     events = jnp.asarray(events)
     n_ev = jnp.int32(N)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 64, cfg.img_chn)),
-                        jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
+    # host-built params (eval_shape + numpy fill): model.init through the
+    # relay costs ~2 min; weight values are runtime arguments, irrelevant
+    # to compiled-program timing (same trick as bench.py)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, cfg.img_chn)),
+                            jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
+    prng = np.random.RandomState(1)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(0.05 * prng.standard_normal(s.shape),
+                              s.dtype), shapes)
 
     variants = {
         "bf16": dict(int8=False),
@@ -66,6 +73,12 @@ def main():
         # unfolded I/O); "fegaca1" keeps the folded-I/O v1 for the A/B
         "fegaca1": dict(int8=False, fused_egaca="v1"),
         "int8st_fe": dict(int8="static", fused_egaca=True),
+        # width-folded lax.scan serving (exact math, ~20x smaller HLO —
+        # the bench.py provisional path); scanN = scan unroll factor N
+        "scan": dict(int8=False, scan=True),
+        "scan2": dict(int8=False, scan=True, scan_unroll=2),
+        "scan4": dict(int8=False, scan=True, scan_unroll=4),
+        "scan8": dict(int8=False, scan=True, scan_unroll=8),
     }
 
     for name in which:
@@ -81,7 +94,11 @@ def main():
             qscales = pipe._int8_scales
             print(f"calibrated {len(qscales)} sites", flush=True)
 
-        @partial(jax.jit, static_argnums=(5,))
+        # `iters` is TRACED: one executable serves every iteration count —
+        # through this relay each executable costs ~3 min to compile and
+        # ~5 min of first-execution load (diag_bench_compile.py), so the
+        # old static_argnums formulation paid that twice per variant
+        @jax.jit
         def bench_fn(params, b0, b1, events, n_ev, iters, _pipe=pipe,
                      _qs=qscales):
             def body(_, carry):
@@ -97,11 +114,14 @@ def main():
                 0, iters, body, (b0, events, jnp.float32(0.0)))[2]
 
         def bench_iters(k):
-            float(bench_fn(params, blur0, blur1, events, n_ev, k))
             t0 = time.perf_counter()
-            float(bench_fn(params, blur0, blur1, events, n_ev, k))
+            float(bench_fn(params, blur0, blur1, events, n_ev,
+                           jnp.int32(k)))
             return time.perf_counter() - t0
 
+        t_warm = bench_iters(1)  # compile (or cache hit) + relay load
+        print(f"{name:7s} compile+load+first window: {t_warm:.1f} s",
+              flush=True)
         dt1 = bench_iters(1)
         dt = (bench_iters(iters + 1) - dt1) / iters
         print(f"{name:7s} e2e @{h}x{w} t={t}: {dt*1e3:8.1f} ms/window "

@@ -90,6 +90,20 @@ def test_egaca_fused_parity_f32(H, W, c_out, variant):
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-4)
 
 
+def test_egaca_fused_parity_odd_width_v2():
+    """v2 keeps the natural (1,H,W,C) layout, so odd widths are supported
+    (egaca_supported only rejects them for the width-folding v1)."""
+    from refid_tpu.serve.fast_forward import _egaca, _egaca_img_branch
+
+    p = _params(jax.random.PRNGKey(5))
+    ev, img = _inputs(6, 20, 31)
+    want = np.asarray(_egaca(p, ev, img, None))
+    xb = _egaca_img_branch(p, img, None)
+    got = np.asarray(_fused("v2")(p, ev, img, xb, None, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-4)
+
+
 @pytest.mark.parametrize("variant", ["v1", "v2"])
 def test_egaca_fused_parity_bf16(variant):
     """bf16 compute-dtype parity within bf16 noise (the serving config)."""
@@ -149,7 +163,13 @@ def test_egaca_supported_gate():
     p = _params(jax.random.PRNGKey(4))
     ev, _ = _inputs(5, 16, 32)
     assert egaca_supported(p, ev)
-    # odd width unsupported
-    assert not egaca_supported(p, ev[:, :, :31])
-    # wrong channel count unsupported
-    assert not egaca_supported(p, ev[..., :32])
+    # odd width: v1 folds width and rejects it; v2 keeps the natural
+    # layout and accepts any width
+    assert not egaca_supported(p, ev[:, :, :31], "v1")
+    assert egaca_supported(p, ev[:, :, :31], "v2")
+    # wrong channel count unsupported by both
+    assert not egaca_supported(p, ev[..., :32], "v1")
+    assert not egaca_supported(p, ev[..., :32], "v2")
+    import pytest
+    with pytest.raises(ValueError):
+        egaca_supported(p, ev, "V1")

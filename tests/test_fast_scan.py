@@ -103,6 +103,21 @@ def test_fast_scan_matches_model():
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_fast_scan_packed_events_match():
+    """Pre-packed s2d(2,2) event input (the serving contract shared with
+    fast_forward — what the on-device voxelizer emits) produces the same
+    output as the raw (b, t, h, w, ev_chn) stack."""
+    from refid_tpu.serve.packing import space_to_depth
+    cfg, model, params, x, ev = _setup(seed=7)
+    b, t, h, w, c = ev.shape
+    evp = space_to_depth(ev.reshape(b * t, h, w, c), 2).reshape(
+        b, t, h // 2, w // 2, 4 * c)
+    want = np.asarray(fast_apply_scan(params, cfg, x, ev, remat=False))
+    got = np.asarray(fast_apply_scan(params, cfg, x, evp, remat=False))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_fast_scan_rematconv_gradients_match_full_remat():
     """remat='convs' (save-conv-outputs policy) must be a pure scheduling
