@@ -37,6 +37,10 @@ def _conv(p, x, stride=1, padding=0, slope=None, dtype=None, groups=1):
     if stride == 1 and groups == 1:
         from refid_tpu.serve.packing import _stride1_conv
         out = _stride1_conv(x, k, [(padding, padding)] * 2)
+    elif groups == 1:
+        from refid_tpu.serve.packing import _strided_conv
+        out = _strided_conv(x, k, (stride, stride),
+                            [(padding, padding)] * 2)
     else:
         out = jax.lax.conv_general_dilated(
             x, k, (stride, stride), [(padding, padding)] * 2,

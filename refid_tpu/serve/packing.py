@@ -56,6 +56,19 @@ def _stride1_conv(xp, W, padding):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def _strided_conv(xp, W, strides, padding):
+    """Strided conv that picks up the per-tap wgrad VJP under the
+    tap_wgrad scope (the down-conv sites conv_tapgrad's stride-1 form
+    could not cover)."""
+    if _TAP_WGRAD[0]:
+        from refid_tpu.serve.tapgrad import conv_tapgrad_s
+        return conv_tapgrad_s(xp, W, tuple(strides),
+                              tuple(map(tuple, padding)))
+    return jax.lax.conv_general_dilated(
+        xp, W, tuple(strides), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def _rr(r):
     return (r, r) if isinstance(r, int) else tuple(r)
 
@@ -206,9 +219,7 @@ def down_conv_folded(xf, w, rw=2, dtype=None):
     W, padding = fold_down_conv_kernel(w, rw=rw, stride=2)
     if dtype is not None:
         xf, W = xf.astype(dtype), W.astype(dtype)
-    return jax.lax.conv_general_dilated(
-        xf, W, (2, 1), padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return _strided_conv(xf, W, (2, 1), padding)
 
 
 def s2d_to_wfold(x):
