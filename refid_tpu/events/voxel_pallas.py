@@ -1,5 +1,12 @@
 """Pallas TPU kernel: event -> voxel-grid scatter-add.
 
+CAUTION (round 5, scripts/probe_poison.py): the presence of ANY
+tpu_custom_call in a graph demotes the large XLA convolutions around it
+to ~16 TF/s loop fusions (~2.6x).  Standalone this kernel ties the XLA
+scatter (21.1 vs 20.2 ms at 2^20 events); INSIDE the serving pipeline it
+would poison the network's convs, so the XLA scatter stays the pipeline
+default and this kernel is for standalone voxelization workloads.
+
 TPU has no fast random scatter, so the kernel recasts the reference's
 ``np.add.at`` voxelization (basicsr/data/event_util.py:54-59) as ONE-HOT
 MATMULS on the MXU:

@@ -53,8 +53,7 @@ class BlurVFIPipeline:
                  norm_voxel: bool = False, fast: Optional[bool] = None,
                  voxelizer: str = "scatter",
                  int8: Union[bool, str] = False,
-                 mesh=None, fused_egaca: Union[bool, str] = False,
-                 scan: bool = False, scan_unroll: int = 1):
+                 mesh=None, scan: bool = False, scan_unroll: int = 1):
         self.params = params
         self.cfg = cfg
         self.m, self.n = m, n
@@ -82,14 +81,6 @@ class BlurVFIPipeline:
         self._int8_raw_amax = None
         self._int8_rms = None
         self._int8_exclude = None  # tuple of site indices served exact
-        if fused_egaca not in (False, True, "v1"):
-            raise ValueError(f"fused_egaca must be False, True (v2), or "
-                             f"'v1'; got {fused_egaca!r}")
-        self.fused_egaca = fused_egaca  # two-pass Pallas EGACA kernel
-        # (ops/egaca_fused.py) — tolerance-exact (not bit-exact), targets
-        # the ~230 ms memory-bound scale-1 class in the e2e profile.
-        # True = v2 (unfolded I/O); "v1" = folded I/O (e2e-negative, kept
-        # for the layout-poisoning A/B)
         self.norm_voxel = norm_voxel  # parity: recurrent recipe skips norm
         self.model = FinalBidirectionAttenfusion(cfg)
         # the packed/width-folded serving forward (serve/fast_forward.py,
@@ -171,8 +162,7 @@ class BlurVFIPipeline:
                               "exclude": qexclude or ()}
                 return fast_forward(params, self.cfg, lq,
                                     _pack_pairs(vox, t), packed=True,
-                                    int8=self.int8, qstate=qstate,
-                                    fused_egaca=self.fused_egaca)[0]
+                                    int8=self.int8, qstate=qstate)[0]
             pairs = jnp.stack([vox[..., i:i + 2] for i in range(t)],
                               axis=0)[None]                 # (1,t,h,w,2)
             return self.model.apply(params, lq, pairs)[0]   # (t,h,w,3)

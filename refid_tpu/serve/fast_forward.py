@@ -2,19 +2,28 @@
 FinalBidirectionAttenfusion over its params pytree.
 
 Why this exists (instead of model.apply): the serving hot path wants
-hand-placed Pallas kernels (the fused ConvResidualBlocks trunk carries
-~70% of the FLOPs — ops/fused_trunk.py) and trace-time-unrolled temporal
-loops, without threading kernel flags through every flax module.  The
-module tree stays the single source of truth for parameters and training;
-this file re-expresses only the PRODUCTION configuration of the forward
-(bidirectional, aliased backward states, EGACA at encoder 1, simpleconv
-recurrence, transpose-recurrent decoder, num_block=1), asserting on
-anything else.
+trace-time-unrolled temporal loops, exact width-folded / space-to-depth
+reparameterizations (serve/packing.py), and the int8 MXU modes
+(serve/quant.py), without threading serving flags through every flax
+module.  The module tree stays the single source of truth for parameters
+and training; this file re-expresses only the PRODUCTION configuration of
+the forward (bidirectional, aliased backward states, EGACA at encoder 1,
+simpleconv recurrence, transpose-recurrent decoder, num_block=1),
+asserting on anything else.
 
-Exactness: with ``fused=False`` this is op-for-op the same math as
-model.apply (tested bit-comparable in tests/test_fast_forward.py); with
-``fused=True`` the three trunk convs run in one Pallas kernel whose only
-deviation is f32 accumulation order.
+Exactness: op-for-op the same math as model.apply (tested bit-comparable
+in tests/test_fast_forward.py); the int8 modes are NOT exact and are
+dB-gated (tests/test_quant.py).
+
+NO Pallas kernels on this path, by measurement: the presence of ANY
+tpu_custom_call in the serving graph demotes the surrounding XLA convs
+from ~95 TF/s conv-fusions to ~16 TF/s loop fusions (~2.6x on a probe
+graph, ~400 ms on the e2e window) — isolated with a trivial passthrough
+kernel in scripts/probe_poison.py; neither optimization_barrier nor
+materialized converts stop it.  Rounds 4-5 measured three kernels
+(fused trunk, fused EGACA v1 folded-I/O, v2 unfolded-I/O) that each won
+their region standalone and lost e2e to this effect; they are deleted
+(see PERFORMANCE.md round 5 and git history).
 
 Reference hot loop being replaced: XXNet_final_attenfusion_arch.py:172-216.
 """
@@ -24,8 +33,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-from refid_tpu.ops.fused_trunk import fused_trunk
 
 __all__ = ["fast_forward"]
 
@@ -118,7 +125,7 @@ def _egaca(p, event_feat, image_feat, dtype=None, img_branch=None):
     return y + ffn * _cast(p["gamma"], dtype)
 
 
-def _trunk(p, x, state, dtype=None, fused=False, interpret=False, q=None):
+def _trunk(p, x, state, dtype=None, q=None):
     """ConvResidualBlocks num_block=1 over [x, state].  ``q`` (a kernel-quant
     memo dict) routes the three convs through int8 MXU arithmetic
     (serve/quant.py) — NOT exact math, gated on measured dB."""
@@ -131,22 +138,6 @@ def _trunk(p, x, state, dtype=None, fused=False, interpret=False, q=None):
                        out_dtype=dtype, cache=q)
         return h + conv_int8(b0["conv2"], h1, padding=1, out_dtype=dtype,
                              cache=q)
-    if fused == "aligned" and x.shape[-1] < 128 and not interpret:
-        # lane-unaligned trunks fall back to XLA (the kernel would have to
-        # channel-pad its inputs, which costs an extra full-res buffer per
-        # unrolled step — HBM-prohibitive at t=23)
-        fused = False
-    if fused:
-        assert x.shape[0] == 1, "fused serving path is single-batch"
-        out = fused_trunk(
-            _cast(x[0], dtype), _cast(state[0], dtype),
-            _cast(ci["kernel"], dtype), _cast(ci["bias"], dtype),
-            _cast(b0["conv1"]["kernel"], dtype),
-            _cast(b0["conv1"]["bias"], dtype),
-            _cast(b0["conv2"]["kernel"], dtype),
-            _cast(b0["conv2"]["bias"], dtype),
-            interpret=interpret)[None]
-        return out
     h = _conv(ci, jnp.concatenate([x, state], axis=-1), padding=1,
               slope=0.1, dtype=dtype)
     h1 = jax.nn.relu(_conv(b0["conv1"], h, padding=1, dtype=dtype))
@@ -154,8 +145,7 @@ def _trunk(p, x, state, dtype=None, fused=False, interpret=False, q=None):
 
 
 def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
-               fused=False, interpret=False, opt=False, q=None,
-               egaca_img=None, fused_egaca=False):
+               opt=False, q=None, egaca_img=None):
     """RecurrentEncoderStage (models/recurrent.py:89-145), simpleconv cell.
 
     ``opt`` enables two profile-guided algebraic rewrites (exact math):
@@ -180,29 +170,7 @@ def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
         if not opt:
             e = jnp.maximum(e, e * 0.2)  # ConvLayer + stage's extra lrelu
     elif i in atten_at:
-        use_fused = False
-        if fused_egaca and egaca_img is not None:
-            from refid_tpu.ops.egaca_fused import (egaca_fused,
-                                                   egaca_fused_u,
-                                                   egaca_supported)
-            use_fused = egaca_supported(
-                p["atten"], e, "v1" if fused_egaca == "v1" else "v2")
-        if use_fused:
-            # two VMEM-resident Pallas passes — the profile's ~230 ms
-            # memory-bound scale-1 class (ops/egaca_fused.py);
-            # tolerance-pinned vs this XLA replay.  fused_egaca="v1"
-            # selects the folded-I/O kernel (measured e2e NEGATIVE —
-            # layout poisoning, PERFORMANCE.md round 4); default is the
-            # unfolded-I/O v2 whose boundary is constraint-free.
-            if fused_egaca == "v1":
-                e = egaca_fused(p["atten"], e, y, egaca_img, dtype,
-                                interpret=interpret,
-                                swap_mode="perm" if interpret else "roll")
-            else:
-                e = egaca_fused_u(p["atten"], e, y, egaca_img, dtype,
-                                  interpret=interpret)
-        else:
-            e = _egaca(p["atten"], e, y, dtype, img_branch=egaca_img)
+        e = _egaca(p["atten"], e, y, dtype, img_branch=egaca_img)
     else:
         slope = 0.04 if opt else 0.2
         if q is not None:
@@ -213,7 +181,7 @@ def _enc_stage(p, i, atten_at, e, y, state, bwd_state, dtype=None,
                       dtype=dtype)
         if not opt:
             e = jnp.maximum(e, e * 0.2)
-    e = _trunk(p["rec"]["trunk"], e, state, dtype, fused, interpret, q=q)
+    e = _trunk(p["rec"]["trunk"], e, state, dtype, q=q)
     new_state = e
     if bwd_state is not None:
         pf = p["fuse_bidir"]["conv"]
@@ -298,9 +266,8 @@ def _enc_stage0_folded(p, e_f2, state_f2, bwd_f2, dtype=None, kc=None,
     return e, new_state
 
 
-def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
-                 interpret=False, int8=False, qstate=None,
-                 fused_egaca=False):
+def fast_forward(params, cfg, x, event, *, packed=True,
+                 int8=False, qstate=None):
     """Production blur-VFI forward (aliased backward states), trace-time
     unrolled.  x (b, h, w, img_chn) or (b, 2, h, w, c); event
     (b, t, h, w, ev_chn).  Returns (b, t, h, w, out_chn).
@@ -316,11 +283,6 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
         re-does per scan direction (XXNet_final_attenfusion_arch.py:172/185).
       * The 3-channel prediction conv similarly runs s2d-packed.
     """
-    if fused_egaca not in (False, True, "v1"):
-        # normalize/validate ONCE at the entry point: a typo like "V1"
-        # must not silently select v2 and skew the kernel A/B
-        raise ValueError(f"fused_egaca must be False, True (v2), or 'v1'; "
-                         f"got {fused_egaca!r}")
     assert cfg.bidirectional and cfg.aliased_backward_states
     assert cfg.recurrent_cell == "simpleconv" and cfg.num_block == 1
     assert cfg.encoder_stage == "then_down"
@@ -469,9 +431,8 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             else:
                 e, states[i] = _enc_stage(
                     p["bwd"][f"enc_{i}"], i, atten_at, e, y, states[i],
-                    None, dt, fused, interpret, opt=packed, q=qcache,
-                    egaca_img=egaca_img.get(("bwd", i)),
-                    fused_egaca=fused_egaca)
+                    None, dt, opt=packed, q=qcache,
+                    egaca_img=egaca_img.get(("bwd", i)))
     bwd_final = states
 
     # forward scan + bottleneck + recurrent decoder + prediction
@@ -499,9 +460,8 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
             else:
                 e, fwd_states[i] = _enc_stage(
                     p["fwd"][f"enc_{i}"], i, atten_at, e, y, fwd_states[i],
-                    bwd_final[i], dt, fused, interpret, opt=packed, q=qcache,
-                    egaca_img=egaca_img.get(("fwd", i)),
-                    fused_egaca=fused_egaca)
+                    bwd_final[i], dt, opt=packed, q=qcache,
+                    egaca_img=egaca_img.get(("fwd", i)))
             e_blocks.append(e)
         for j in range(cfg.num_residual_blocks):
             pr = p["fwd"][f"res_{j}"]
@@ -537,8 +497,7 @@ def fast_forward(params, cfg, x, event, *, fused=False, packed=True,
                                   kc=kcache, q=qdec)
             else:
                 up = _conv_transpose_up(pd["up"], e + skip, dt)
-                e = _trunk(pd["trunk"], up, dec_states[i], dt, fused,
-                           interpret, q=qcache)
+                e = _trunk(pd["trunk"], up, dec_states[i], dt, q=qcache)
             dec_states[i] = e
         if packed:
             pk = p["fwd"]["pred"]["conv"]

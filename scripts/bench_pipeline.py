@@ -68,11 +68,6 @@ def main():
         "int8": dict(int8=True),
         "int8s0": dict(int8="scale0"),
         "int8st": dict(int8="static"),  # calibrated scales, widest coverage
-        "fegaca": dict(int8=False, fused_egaca=True),  # two-pass Pallas
-        # EGACA kernel on the ~230 ms memory-bound scale-1 class (v2,
-        # unfolded I/O); "fegaca1" keeps the folded-I/O v1 for the A/B
-        "fegaca1": dict(int8=False, fused_egaca="v1"),
-        "int8st_fe": dict(int8="static", fused_egaca=True),
         # width-folded lax.scan serving (exact math, ~20x smaller HLO —
         # the bench.py provisional path); scanN = scan unroll factor N
         "scan": dict(int8=False, scan=True),

@@ -59,6 +59,22 @@ def pallas_op(d, band=8):
     )(d)
 
 
+def tiny_pallas(d):
+    """Pallas on a TINY (8, 128) slice, result folded back in: keeps a
+    custom-call in the graph with negligible VMEM footprint.  If this
+    alone poisons, the mechanism is the custom-call's PRESENCE (layout /
+    fusion-pass global effects); if not, it is resource (VMEM) pressure
+    scaling with the kernel's block sizes."""
+    s = d[0, :8, :128, 0]
+    spec = pl.BlockSpec((8, 128), lambda: (0, 0), memory_space=pltpu.VMEM)
+    o = pl.pallas_call(
+        lambda x_ref, o_ref: o_ref.__setitem__(
+            slice(None), x_ref[:] * 2.0 + 1.0),
+        in_specs=[spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((8, 128), d.dtype))(s)
+    return d.at[0, :8, :128, 0].set(o)
+
+
 def make_step(variant, params):
     w1, w2, w3, wd, wu = params
 
@@ -67,6 +83,10 @@ def make_step(variant, params):
             return d * 2.0 + 1.0
         if variant == "pallas":
             return pallas_op(d)
+        if variant.startswith("pallas_b"):
+            return pallas_op(d, band=int(variant[8:]))
+        if variant == "tiny":
+            return tiny_pallas(d * 2.0 + 1.0)
         if variant == "barrier":
             (d,) = jax.lax.optimization_barrier((d,))
             o = pallas_op(d)

@@ -21,8 +21,9 @@ def main():
     ap.add_argument("--events", type=int, default=1 << 20)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--dir", default="/tmp/refid_profile_e2e")
-    ap.add_argument("--fegaca", action="store_true",
-                    help="profile the fused-EGACA (Pallas) serving variant")
+    ap.add_argument("--int8", default=False,
+                    help="int8 serving mode to profile: True, scale0, "
+                         "or static (calibrates on a center crop first)")
     args = ap.parse_args()
 
     import numpy as np
@@ -51,18 +52,33 @@ def main():
     events[:, 3] = rng.randint(0, 2, N)
     events = jnp.asarray(events)
     n_ev = jnp.int32(N)
-    params = model.init(jax.random.PRNGKey(0),
-                       jnp.zeros((1, 64, 64, cfg.img_chn)),
-                       jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
-    pipe = BlurVFIPipeline(params, cfg, m=m, n=n,
-                           fused_egaca=args.fegaca)
+    # host-built params (eval_shape + numpy fill): model.init through the
+    # relay costs ~2 min; weight values don't affect compiled-program timing
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, cfg.img_chn)),
+                            jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
+    prng = np.random.RandomState(1)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(0.05 * prng.standard_normal(s.shape),
+                              s.dtype), shapes)
+    int8 = {"True": True, "False": False}.get(str(args.int8), args.int8)
+    pipe = BlurVFIPipeline(params, cfg, m=m, n=n, int8=int8)
+
+    qscales = None
+    if int8 == "static":
+        pipe.calibrate(np.asarray(blur0), np.asarray(blur1),
+                       np.asarray(events), crop=(h // 2, w // 2),
+                       headroom=1.1)
+        qscales = pipe._int8_scales
+        print(f"calibrated {len(qscales)} sites", flush=True)
 
     # EXACTLY bench.py's loop body, so the compiled graph matches the bench.
     @partial(jax.jit, static_argnums=(5,))
     def bench_fn(params, b0, b1, events, n_ev, iters):
         def body(_, carry):
             b0i, evi, s = carry
-            out = pipe._run(params, b0i, b1, evi, n_ev, height=h, width=w)
+            out = pipe._run(params, b0i, b1, evi, n_ev, height=h, width=w,
+                            qscales=qscales)
             s = jnp.mean(out.astype(jnp.float32))
             b0i = (b0.astype(jnp.float32) + s * 1e-12).astype(b0.dtype)
             evi = events + s * 1e-12

@@ -25,17 +25,9 @@ def _setup(seed=0, base=8, h=24, w=32, t=4):
 def test_fast_forward_matches_model():
     cfg, model, params, x, ev = _setup()
     want = np.asarray(model.apply(params, x, ev))
-    got = np.asarray(fast_forward(params, cfg, x, ev, fused=False))
+    got = np.asarray(fast_forward(params, cfg, x, ev))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
-
-
-def test_fast_forward_fused_matches_model():
-    cfg, model, params, x, ev = _setup(seed=1)
-    want = np.asarray(model.apply(params, x, ev))
-    got = np.asarray(fast_forward(params, cfg, x, ev, fused=True,
-                                  interpret=True))
-    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
 @pytest.mark.slow
@@ -44,8 +36,7 @@ def test_fast_forward_bf16_close_to_f32():
     cfg, model, params, x, ev = _setup(seed=2, t=3)
     want = np.asarray(model.apply(params, x, ev)).astype(np.float32)
     cfg16 = dataclasses.replace(cfg, dtype=jnp.bfloat16)
-    got = np.asarray(fast_forward(params, cfg16, x, ev, fused=True,
-                                  interpret=True)).astype(np.float32)
+    got = np.asarray(fast_forward(params, cfg16, x, ev)).astype(np.float32)
     # bf16 serving tolerance (PERFORMANCE.md: ~3e-3 deviation at production
     # scale; random-init tiny nets are noisier)
     assert np.abs(got - want).max() < 0.1
