@@ -1,8 +1,10 @@
-"""End-to-end serving bench: flagship blur-VFI 11+1 at 1280x720, comparing
-the flax unrolled path against the functional fast_forward (with and
-without the fused Pallas trunk).
+"""End-to-end serving bench: flagship blur-VFI 11+1 at 1280x720 (or
+--hw 1224x1632 for HighREV), comparing the flax unrolled path against the
+functional fast_forward variants.  (The fused Pallas variants were deleted
+in round 5 — presence-poisoning, see PERFORMANCE.md.)
 
-Usage: python scripts/bench_e2e.py [model|fast|fused ...] [--t N]
+Usage: python scripts/bench_e2e.py [model|fast|packed|int8|int8s0 ...]
+                                   [--t N] [--b N] [--hw HxW]
 """
 
 import os
@@ -67,7 +69,7 @@ def main():
     hh, ww = 720, 1280
     if "--hw" in sys.argv:  # e.g. --hw 1224x1632 (HighREV)
         hh, ww = map(int, sys.argv[sys.argv.index("--hw") + 1].split("x"))
-    which = args or ["model", "fused"]
+    which = args or ["model", "packed"]
 
     cfg = RefidConfig(dtype=jnp.bfloat16, unroll=True)
     model = FinalBidirectionAttenfusion(cfg)
@@ -85,18 +87,12 @@ def main():
 
     fns = {
         "model": model.apply,
-        "fast": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
-                                              packed=False),
-        "packed": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
-                                                packed=True),
-        "int8": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
+        "fast": lambda p, x, ev: fast_forward(p, cfg, x, ev, packed=False),
+        "packed": lambda p, x, ev: fast_forward(p, cfg, x, ev, packed=True),
+        "int8": lambda p, x, ev: fast_forward(p, cfg, x, ev,
                                               packed=True, int8=True),
-        "int8s0": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
+        "int8s0": lambda p, x, ev: fast_forward(p, cfg, x, ev,
                                                 packed=True, int8="scale0"),
-        "fused": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=True,
-                                               packed=False),
-        "fused_aligned": lambda p, x, ev: fast_forward(
-            p, cfg, x, ev, fused="aligned", packed=False),
     }
     results = {}
     for name in which:

@@ -1,7 +1,8 @@
-"""Per-op device profile of a serving forward (model | fast | fused |
-fused_aligned) via jax.profiler + xplane parsing.
+"""Per-op device profile of a serving forward (model | fast | packed)
+via jax.profiler + xplane parsing.  (Fused Pallas variants deleted in
+round 5 — presence-poisoning, see PERFORMANCE.md.)
 
-Usage: python scripts/profile_forward.py fused_aligned --t 5 [--top 25]
+Usage: python scripts/profile_forward.py packed --t 5 [--top 25]
 """
 
 import argparse
@@ -132,7 +133,7 @@ def parse_xplane(path):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", nargs="?", default="fused_aligned")
+    ap.add_argument("which", nargs="?", default="packed")
     ap.add_argument("--t", type=int, default=5)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--dir", default="/tmp/refid_profile")
@@ -158,14 +159,8 @@ def main():
 
     fns = {
         "model": model.apply,
-        "fast": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
-                                              packed=False),
-        "packed": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=False,
-                                                packed=True),
-        "fused": lambda p, x, ev: fast_forward(p, cfg, x, ev, fused=True,
-                                               packed=False),
-        "fused_aligned": lambda p, x, ev: fast_forward(
-            p, cfg, x, ev, fused="aligned", packed=False),
+        "fast": lambda p, x, ev: fast_forward(p, cfg, x, ev, packed=False),
+        "packed": lambda p, x, ev: fast_forward(p, cfg, x, ev, packed=True),
     }
     fn = jax.jit(fns[args.which])
     out = fn(params, x, ev)
