@@ -428,3 +428,34 @@ def test_calibration_save_load_roundtrips_exclusion(tmp_path):
     assert pipe2._int8_rms == pipe._int8_rms
     got = np.asarray(pipe2(blur0, blur1, events))
     np.testing.assert_array_equal(got, want)
+
+
+def test_production_db_decision_rule():
+    """Round-5 deployment decision rule (VERDICT round-4 item 4): an int8
+    serving mode is quality-gated IN iff its MEASURED production-shape
+    (720p/t=23) PSNR vs the exact f32 forward clears PRODUCTION_DB_GATE.
+
+    The recorded table (scripts/quant_db.py, real TPU, real init
+    distributions) puts every int8 mode at 68.6-68.7 dB — at/above the
+    68.6 dB bf16 rounding floor itself — so all measured modes gate in,
+    and bench.py's stage-3 int8 headline plus the task layer's
+    ``val.int8`` rely on this rule.  Unmeasured modes must NOT gate in."""
+    from refid_tpu.serve.quant import (PRODUCTION_DB_GATE,
+                                       PRODUCTION_SHAPE_DB,
+                                       int8_quality_gated)
+
+    # the gate sits far above the ~36 dB task-signal PSNR and below every
+    # recorded mode: the rule is meaningful in both directions
+    assert 40.0 <= PRODUCTION_DB_GATE <= 60.0
+    for mode in (True, "scale0", "static"):
+        assert mode in PRODUCTION_SHAPE_DB, mode
+        assert PRODUCTION_SHAPE_DB[mode] >= PRODUCTION_DB_GATE, mode
+        assert int8_quality_gated(mode), mode
+    # int8 error must sit at/below the bf16 rounding floor — if a future
+    # re-measure drops a mode below bf16 by >0.5 dB, this should be
+    # revisited, not silently shipped
+    for mode in (True, "scale0", "static"):
+        assert PRODUCTION_SHAPE_DB[mode] >= PRODUCTION_SHAPE_DB[False] - 0.5
+    # unmeasured modes stay OUT
+    assert not int8_quality_gated("made_up_mode")
+    assert not int8_quality_gated(None)
