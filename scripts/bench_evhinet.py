@@ -1,6 +1,14 @@
-"""EVHINet (single-image deblur) throughput at 720p on the real TPU.
+"""EVHINet (single-image deblur) throughput on the real TPU.
 
-Usage: python scripts/bench_evhinet.py [--f32]
+Usage: python scripts/bench_evhinet.py [--f32] [--fast] [--int8|--int8st]
+           [--hw 1224x1632] [--tiled 256]
+
+--hw    frame geometry (default 720x1280; 1224x1632 = HighREV full frame).
+--tiled CROP: serve through the ``grids`` tiling path (eval/tiling.py —
+        overlapping CROP-size tiles, minibatched on device, host
+        reassembly) instead of one full-frame executable; wall-clock
+        timed (the host round-trips are part of the serving cost).  The
+        untiled rows use the anti-LICM fori_loop harness.
 """
 import os
 import sys
@@ -30,6 +38,12 @@ def main():
     model = EVHINet(dtype=dt)
     rng = np.random.RandomState(0)
     h, w = 720, 1280
+    if "--hw" in sys.argv:
+        h, w = map(int, sys.argv[sys.argv.index("--hw") + 1].split("x"))
+    tiled = 0
+    if "--tiled" in sys.argv:
+        tiled = int(sys.argv[sys.argv.index("--tiled") + 1])
+        fast = True
     x = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
     ev = jnp.asarray(rng.rand(1, h, w, 6).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0),
@@ -55,6 +69,35 @@ def main():
                                         qstate=qs)
         return model.apply(p, x, ev)
 
+    if tiled:
+        from refid_tpu.eval.tiling import tiled_apply
+        tile_fn = jax.jit(fwd)
+        lq_np = np.asarray(x[0])
+        ev_np = np.asarray(ev[0])
+
+        def run(eps):
+            # perturb per run: the relay may serve byte-identical
+            # dispatches from cache, which would time nothing
+            return tiled_apply(
+                lambda l, v: tile_fn(params, jnp.asarray(l + eps),
+                                     jnp.asarray(v + eps)),
+                lq_np, ev_np, tiled, max_minibatch=2)
+
+        out = run(0.0)                      # compile + relay load (+ warm
+        assert out.shape[-3:-1] == (h, w)   # both minibatch shapes)
+        iters = 3
+        t0 = time.perf_counter()
+        for i in range(iters):
+            run((i + 1) * 1e-12)
+        dtm = (time.perf_counter() - t0) / iters
+        tag = ("f32" if dt is None else "bf16") + f" grids{tiled}"
+        if int8:
+            tag += " int8" + ("st" if int8 == "static" else "")
+        print(f"EVHINet {tag} {h}x{w}: {dtm*1e3:.1f} ms/frame "
+              f"({1/dtm:.1f} frames/s, wall-clock incl. host reassembly)",
+              flush=True)
+        return
+
     @partial(jax.jit, static_argnums=(3,))
     def loop(p, x, ev, iters):
         def body(_, carry):
@@ -77,7 +120,7 @@ def main():
     tag = ("f32" if dt is None else "bf16") + (" folded" if fast else "")
     if int8:
         tag += " int8" + ("st" if int8 == "static" else "")
-    print(f"EVHINet {tag} 720p: {dtm*1e3:.1f} ms/frame "
+    print(f"EVHINet {tag} {h}x{w}: {dtm*1e3:.1f} ms/frame "
           f"({1/dtm:.1f} frames/s)", flush=True)
 
 
