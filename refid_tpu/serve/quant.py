@@ -59,6 +59,17 @@ PRODUCTION_SHAPE_DB = {
     "static": 68.70,
 }
 
+# Same record for the EVHINet folded serving forward
+# (scripts/quant_db_evhinet.py, 720p single-image, 25 calibrated sites).
+# Unlike the flagship, EVHINet's int8 error is visible above the bf16
+# floor (~13.6 dB below it) — but still ~10 dB above the gate and ~24 dB
+# above the task-signal PSNR.
+EVHINET_PRODUCTION_SHAPE_DB = {
+    False: 73.93,
+    True: 60.36,
+    "static": 59.77,
+}
+
 # Decision rule (round-4 VERDICT item 4): an int8 mode is quality-gated
 # IN when its measured production-shape PSNR vs f32 is >= this bar —
 # chosen ~14 dB above the ~36 dB signal PSNR of the restoration task

@@ -459,3 +459,19 @@ def test_production_db_decision_rule():
     # unmeasured modes stay OUT
     assert not int8_quality_gated("made_up_mode")
     assert not int8_quality_gated(None)
+
+
+def test_evhinet_production_db_record():
+    """EVHINet folded-serving int8 modes also clear the production-shape
+    gate (scripts/quant_db_evhinet.py, 720p, real TPU): bf16 73.93 dB,
+    int8 60.36, static 59.77.  Unlike the flagship (int8 at the bf16
+    floor), EVHINet's quantization error is visible — the record pins
+    that it stays >= the gate, and that a future re-measure dropping a
+    mode below must be looked at rather than silently shipped."""
+    from refid_tpu.serve.quant import (EVHINET_PRODUCTION_SHAPE_DB,
+                                       PRODUCTION_DB_GATE)
+
+    for mode in (True, "static"):
+        assert EVHINET_PRODUCTION_SHAPE_DB[mode] >= PRODUCTION_DB_GATE, mode
+    assert (EVHINET_PRODUCTION_SHAPE_DB[False]
+            > EVHINET_PRODUCTION_SHAPE_DB[True])
