@@ -80,9 +80,13 @@ PRODUCTION_DB_GATE = 50.0
 
 
 def int8_quality_gated(mode=True):
-    """True when ``mode`` (a BlurVFIPipeline ``int8=`` value) has a
-    recorded production-shape dB >= PRODUCTION_DB_GATE.  Unmeasured modes
-    are NOT gated in."""
+    """True when ``mode`` (a BlurVFIPipeline ``int8=`` value) names an
+    int8 mode whose recorded production-shape dB >= PRODUCTION_DB_GATE.
+    Unmeasured modes are NOT gated in; ``False`` (bf16 exact — not an
+    int8 mode) returns False even though the baseline row lives in the
+    same table."""
+    if not mode:
+        return False
     db = PRODUCTION_SHAPE_DB.get(mode)
     return db is not None and db >= PRODUCTION_DB_GATE
 

@@ -58,9 +58,17 @@ def main():
                                        qstate=q)
             return out, jnp.stack(q["amax"])
 
-        _, amax = _calib(params, x, ev)
+        # calibrate on a crop when tiling: the whole point of --tiled is
+        # a geometry too big for one executable, and the calibration
+        # graph (exact forward + a live amax edge per site) is the
+        # LARGEST full-frame graph; per-tensor amaxes transfer across
+        # resolution (pipeline.calibrate's crop= rationale)
+        xc, evc = (x[:, :tiled, :tiled], ev[:, :tiled, :tiled]) \
+            if tiled else (x, ev)
+        _, amax = _calib(params, xc, evc)
         qscales = tuple(float(a) * 1.1 for a in np.asarray(amax))
-        print(f"calibrated {len(qscales)} sites", flush=True)
+        print(f"calibrated {len(qscales)} sites"
+              + (f" (crop {tiled})" if tiled else ""), flush=True)
 
     def fwd(p, x, ev):
         if fast:

@@ -112,16 +112,13 @@ def bench_variant(name, cfg_kwargs, iters=8, b=1, t=23, hw=256):
     vox = jnp.asarray(rng.rand(b, t, hw, hw, cfg.ev_chn).astype(np.float32))
     gt = jnp.asarray(rng.rand(b, t, hw, hw, 3).astype(np.float32))
 
-    # host-built params (eval_shape + numpy fill): model.init through the
-    # relay costs ~2 min per variant and weight values don't affect step
-    # timing (loss values differ from init'd weights; irrelevant here)
-    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
-                            jnp.zeros((1, 64, 64, cfg.img_chn)),
-                            jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
-    prng = np.random.RandomState(1)
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.asarray(0.05 * prng.standard_normal(s.shape),
-                              s.dtype), shapes)
+    # host-built params: timing-only — loss values differ from init'd
+    # weights, step timing does not (refid_tpu.serve.host_params)
+    from refid_tpu.serve.host_params import host_built_params
+    params = host_built_params(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, cfg.img_chn)),
+        jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
     train_opt = {"optim_g": {"type": "AdamW", "lr": 2e-4,
                              "betas": [0.9, 0.99], "weight_decay": 1e-4},
                  "scheduler": {"type": "TrueCosineAnnealingLR",

@@ -52,15 +52,12 @@ def main():
     events[:, 3] = rng.randint(0, 2, N)
     events = jnp.asarray(events)
     n_ev = jnp.int32(N)
-    # host-built params (eval_shape + numpy fill): model.init through the
-    # relay costs ~2 min; weight values don't affect compiled-program timing
-    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
-                            jnp.zeros((1, 64, 64, cfg.img_chn)),
-                            jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
-    prng = np.random.RandomState(1)
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.asarray(0.05 * prng.standard_normal(s.shape),
-                              s.dtype), shapes)
+    # host-built params: timing-only (refid_tpu.serve.host_params)
+    from refid_tpu.serve.host_params import host_built_params
+    params = host_built_params(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, cfg.img_chn)),
+        jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
     int8 = {"True": True, "False": False}.get(str(args.int8), args.int8)
     pipe = BlurVFIPipeline(params, cfg, m=m, n=n, int8=int8)
 

@@ -44,13 +44,10 @@ def main():
     from refid_tpu.models.evhinet import EVHINet
     from refid_tpu.serve.evhinet_fast import evhinet_fast_forward
 
+    from refid_tpu.serve.host_params import cpu_init_params
     model = EVHINet(dtype=None)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        params = jax.jit(model.init, device=cpu)(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 6)))
-    params = jax.device_put(params, jax.devices()[0])
+    params = cpu_init_params(model.init, jnp.zeros((1, 64, 64, 3)),
+                             jnp.zeros((1, 64, 64, 6)))
     print(f"[{time.strftime('%H:%M:%S')}] params ready", flush=True)
 
     rng = np.random.RandomState(0)

@@ -456,9 +456,11 @@ def test_production_db_decision_rule():
     # revisited, not silently shipped
     for mode in (True, "scale0", "static"):
         assert PRODUCTION_SHAPE_DB[mode] >= PRODUCTION_SHAPE_DB[False] - 0.5
-    # unmeasured modes stay OUT
+    # unmeasured modes stay OUT; so does bf16 (False is not an int8 mode
+    # even though the baseline row lives in the same table)
     assert not int8_quality_gated("made_up_mode")
     assert not int8_quality_gated(None)
+    assert not int8_quality_gated(False)
 
 
 def test_evhinet_production_db_record():
