@@ -52,16 +52,12 @@ def main():
     events[:, 3] = rng.randint(0, 2, N)
     events = jnp.asarray(events)
     n_ev = jnp.int32(N)
-    # host-built params (eval_shape + numpy fill): model.init through the
-    # relay costs ~2 min; weight values are runtime arguments, irrelevant
-    # to compiled-program timing (same trick as bench.py)
-    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
-                            jnp.zeros((1, 64, 64, cfg.img_chn)),
-                            jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
-    prng = np.random.RandomState(1)
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.asarray(0.05 * prng.standard_normal(s.shape),
-                              s.dtype), shapes)
+    # host-built params: timing-only (refid_tpu.serve.host_params)
+    from refid_tpu.serve.host_params import host_built_params
+    params = host_built_params(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, cfg.img_chn)),
+        jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
 
     variants = {
         "bf16": dict(int8=False),
@@ -108,9 +104,15 @@ def main():
             return jax.lax.fori_loop(
                 0, iters, body, (b0, events, jnp.float32(0.0)))[2]
 
+        calls = [0]
+
         def bench_iters(k):
+            # byte-unique dispatches: the relay may serve byte-identical
+            # dispatches from cache, which would time nothing
+            calls[0] += 1
+            b0i = blur0 + np.float32(calls[0] * 1e-6)
             t0 = time.perf_counter()
-            float(bench_fn(params, blur0, blur1, events, n_ev,
+            float(bench_fn(params, b0i, blur1, events, n_ev,
                            jnp.int32(k)))
             return time.perf_counter() - t0
 
