@@ -20,7 +20,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/refid_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from refid_tpu.models import FinalBidirectionAttenfusion, RefidConfig
-from refid_tpu.pipeline import BlurVFIPipeline
+from refid_tpu.pipeline import BlurVFIPipeline, SharpVFIPipeline
 
 
 def main():
@@ -64,6 +64,7 @@ def main():
         "int8": dict(int8=True),
         "int8s0": dict(int8="scale0"),
         "int8st": dict(int8="static"),  # calibrated scales, widest coverage
+        "int8stc": dict(int8="static"),  # + crest-12 per-site bf16 fallback
         # width-folded lax.scan serving (exact math, ~20x smaller HLO —
         # the bench.py provisional path); scanN = scan unroll factor N
         "scan": dict(int8=False, scan=True),
@@ -71,9 +72,17 @@ def main():
         "scan4": dict(int8=False, scan=True, scan_unroll=4),
         "scan8": dict(int8=False, scan=True, scan_unroll=8),
     }
+    # sharp-VFI serving (BASELINE configs 5-8): 2 sharp frames + events ->
+    # N interpolated middles; zero-padded deblur bins, same checkpoints
+    sharp = {"sharp7": 7, "sharp15": 15}
 
     for name in which:
-        pipe = BlurVFIPipeline(params, cfg, m=m, n=n, **variants[name])
+        if name in sharp:
+            pipe = SharpVFIPipeline(params, cfg, n=sharp[name])
+            t_out = sharp[name]
+        else:
+            pipe = BlurVFIPipeline(params, cfg, m=m, n=n, **variants[name])
+            t_out = t
         qscales = None
         if name.startswith("int8st"):
             # calibrate on a center crop: the full-res calib graph OOMs
@@ -81,9 +90,13 @@ def main():
             # amaxes transfer across resolution (pipeline.calibrate doc)
             pipe.calibrate(np.asarray(blur0), np.asarray(blur1),
                            np.asarray(events), crop=(h // 2, w // 2),
-                           headroom=1.1)
+                           headroom=1.1,
+                           exclude_crest=(12.0 if name == "int8stc"
+                                          else None))
             qscales = pipe._int8_scales
-            print(f"calibrated {len(qscales)} sites", flush=True)
+            nex = len(pipe._int8_exclude or ())
+            print(f"calibrated {len(qscales)} sites, {nex} crest-excluded",
+                  flush=True)
 
         # `iters` is TRACED: one executable serves every iteration count —
         # through this relay each executable costs ~3 min to compile and
@@ -91,11 +104,12 @@ def main():
         # old static_argnums formulation paid that twice per variant
         @jax.jit
         def bench_fn(params, b0, b1, events, n_ev, iters, _pipe=pipe,
-                     _qs=qscales):
+                     _qs=qscales, _qx=pipe._int8_exclude):
             def body(_, carry):
                 b0i, evi, s = carry
                 out = _pipe._run(params, b0i, b1, evi, n_ev,
-                                 height=h, width=w, qscales=_qs)
+                                 height=h, width=w, qscales=_qs,
+                                 qexclude=_qx)
                 s = jnp.mean(out.astype(jnp.float32))
                 b0i = (b0.astype(jnp.float32) + s * 1e-12).astype(b0.dtype)
                 evi = events + s * 1e-12
@@ -121,8 +135,8 @@ def main():
               flush=True)
         dt1 = bench_iters(1)
         dt = (bench_iters(iters + 1) - dt1) / iters
-        print(f"{name:7s} e2e @{h}x{w} t={t}: {dt*1e3:8.1f} ms/window "
-              f"({t/dt:5.1f} frames/s)", flush=True)
+        print(f"{name:7s} e2e @{h}x{w} t={t_out}: {dt*1e3:8.1f} ms/window "
+              f"({t_out/dt:5.1f} frames/s)", flush=True)
 
 
 if __name__ == "__main__":
