@@ -109,7 +109,16 @@ def tiled_apply(fn: Callable, lq: np.ndarray, voxel: np.ndarray,
     for s in range(0, n, max_minibatch):
         pred = fn(lq_tiles[s:s + max_minibatch], vox_tiles[s:s + max_minibatch])
         outs.append(np.asarray(pred))
-    outputs = np.concatenate(outs, axis=0)  # (n, t_out, crop, crop, 3)
+    outputs = np.concatenate(outs, axis=0)  # (n, t_out, crop, crop, c)
+    if outputs.ndim == 4:
+        # single-image fn: (n, crop, crop, c).  Insert t=1 rather than
+        # misreading the tile HEIGHT as a temporal axis — that misread
+        # kept values correct (assemble_tiles broadcast each tile
+        # identically over the phantom axis) but inflated host work and
+        # memory by crop x (a (256,1224,1632,3) f32 alloc at HighREV).
+        outputs = outputs[:, None]
     t_out = outputs.shape[1]
+    if out_frames is not None:
+        assert t_out == out_frames, (t_out, out_frames)
     out_shape = (t_out,) + lq.shape[:-1] + (outputs.shape[-1],)
     return assemble_tiles(outputs, idxes, out_shape, crop_size)

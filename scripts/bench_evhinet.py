@@ -119,12 +119,18 @@ def main():
         return jax.lax.fori_loop(0, iters, body,
                                  (x, ev, jnp.float32(0)))[2]
 
-    float(loop(params, x, ev, 1))
-    t0 = time.perf_counter(); float(loop(params, x, ev, 1))
-    d1 = time.perf_counter() - t0
-    float(loop(params, x, ev, 17))
-    t0 = time.perf_counter(); float(loop(params, x, ev, 17))
-    dtm = (time.perf_counter() - t0 - d1) / 16
+    # byte-unique timed dispatches (k*1e-6 nudge): the relay may serve
+    # byte-identical dispatches from cache, which would time nothing
+    def timed_loop(k, iters):
+        xi = x + np.float32(k * 1e-6)
+        t0 = time.perf_counter()
+        float(loop(params, xi, ev, iters))
+        return time.perf_counter() - t0
+
+    timed_loop(0, 1)                  # compile + relay load (iters=1 exe)
+    timed_loop(1, 17)                 # compile + relay load (iters=17 exe)
+    d1 = timed_loop(2, 1)
+    dtm = (timed_loop(3, 17) - d1) / 16
     tag = ("f32" if dt is None else "bf16") + (" folded" if fast else "")
     if int8:
         tag += " int8" + ("st" if int8 == "static" else "")

@@ -51,12 +51,11 @@ def main():
 
     # params on the HOST cpu backend: model.init on the TPU relay compiles
     # a full init program remotely (~2 min cold); the CPU build is seconds
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        params = jax.jit(model.init, device=cpu)(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, 64, 64, cfg.img_chn)),
-            jnp.zeros((1, 3, 64, 64, cfg.ev_chn)))
+    from refid_tpu.serve.host_params import cpu_init_params
+    params = cpu_init_params(model.init,
+                             jnp.zeros((1, 64, 64, cfg.img_chn)),
+                             jnp.zeros((1, 3, 64, 64, cfg.ev_chn)),
+                             to_default_device=False)
     params = jax.device_put(params, jax.devices()[0])
     note("params built on cpu + transferred")
 

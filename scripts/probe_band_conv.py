@@ -163,9 +163,17 @@ def timed(fn, x, w, iters):
         return jax.lax.fori_loop(0, iters, body,
                                  (x, jnp.float32(0.0)))[1]
 
+    # byte-unique timed dispatches: the relay may serve byte-identical
+    # dispatches from cache, which would time nothing.  (For int8 inputs
+    # a +k nudge changes bytes exactly; for floats k*1e-6.)
+    def nudge(k):
+        if x.dtype == jnp.int8:
+            return x + jnp.int8(k)
+        return x + jnp.asarray(k * 1e-6, x.dtype)
+
     float(loop(x, w))  # compile + warm
     t0 = time.perf_counter()
-    float(loop(x, w))
+    float(loop(nudge(1), w))
     t_n = time.perf_counter() - t0
 
     @jax.jit
@@ -174,7 +182,7 @@ def timed(fn, x, w, iters):
 
     float(one(x, w))
     t0 = time.perf_counter()
-    float(one(x, w))
+    float(one(nudge(2), w))
     t_1 = time.perf_counter() - t0
     return (t_n - t_1) / (iters - 1)
 

@@ -149,9 +149,14 @@ def main():
             return jax.lax.fori_loop(
                 0, iters, body, (e0, jnp.float32(0.0)))[1]
 
+        calls = [0]
+
         def run(k):
+            # byte-unique dispatches: the relay may serve byte-identical
+            # dispatches from cache, which would time nothing
+            calls[0] += 1
             t0 = time.perf_counter()
-            float(loop(e0, jnp.int32(k)))
+            float(loop(e0 + jnp.float32(calls[0] * 1e-6), jnp.int32(k)))
             return time.perf_counter() - t0
 
         t_compile = run(1)

@@ -133,11 +133,17 @@ def bench(fn, x, w, iters):
             return (xi, s)
         return jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))[1]
 
-    float(loop(x, w, jnp.int32(1)))
-    t0 = time.perf_counter(); float(loop(x, w, jnp.int32(1)))
-    d1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(loop(x, w, jnp.int32(iters + 1)))
-    return (time.perf_counter() - t0 - d1) / iters
+    # byte-unique dispatches (k*1e-6 nudge): the relay may serve
+    # byte-identical dispatches from cache, which would time nothing
+    def timed(k, n):
+        xi = x + np.float32(k * 1e-6)
+        t0 = time.perf_counter()
+        float(loop(xi, w, jnp.int32(n)))
+        return time.perf_counter() - t0
+
+    timed(0, 1)  # compile + relay load
+    d1 = timed(1, 1)
+    return (timed(2, iters + 1) - d1) / iters
 
 
 def main():

@@ -185,6 +185,28 @@ def test_tiled_inference_matches_direct_on_identity():
         np.testing.assert_allclose(out[t], lq, atol=1e-6)
 
 
+def test_tiled_inference_single_image_fn():
+    """A 4-D (time-less) network fn must get a t=1 axis, NOT have its
+    tile height misread as a temporal axis (round-5 review finding: the
+    misread broadcast every tile crop x in assemble_tiles — values came
+    out right, host work/memory inflated by crop x)."""
+    from refid_tpu.eval.tiling import tiled_apply
+
+    rng = np.random.RandomState(2)
+    lq = rng.rand(40, 56, 3).astype(np.float32)
+    vox = rng.rand(40, 56, 6).astype(np.float32)
+
+    def fake_net(lq_tiles, vox_tiles):
+        return lq_tiles + vox_tiles[..., :3]  # (b, crop, crop, 3)
+
+    out = tiled_apply(fake_net, lq, vox, crop_size=16, max_minibatch=3)
+    assert out.shape == (1, 40, 56, 3)  # t=1, not t=crop
+    np.testing.assert_allclose(out[0], lq + vox[..., :3], atol=1e-6)
+    # out_frames, when given, is validated against the inferred t
+    out2 = tiled_apply(fake_net, lq, vox, crop_size=16, out_frames=1)
+    np.testing.assert_allclose(out2, out, atol=0)
+
+
 def test_tiled_inference_with_transpose_ensemble():
     from refid_tpu.eval.tiling import tiled_apply
 
